@@ -1,0 +1,569 @@
+"""Network architectures (TPU-native port of reference src/networks.py).
+
+All modules operate on NHWC tensors, return (output, new_state), and keep
+parameter-tree naming 1:1 with the reference's torch state_dicts.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import functional as F
+from ..nn.core import Module, Sequential, init_children
+from ..nn.layers import Conv2d, DecoderBlock, FullyConnected, ResNetBlock
+from ..ops.roi_pool import roi_pool_column
+
+
+def _make_layer(n_block, in_channels, out_channels, stride,
+                weight_initializer, activation_func, use_batch_norm):
+    """Stack of ResNet blocks; first carries the stride
+    (src/networks.py:178-230)."""
+    blocks = []
+    for n in range(n_block):
+        if n != 0:
+            in_channels = out_channels
+            stride = 1
+        blocks.append(ResNetBlock(
+            in_channels=in_channels,
+            out_channels=out_channels,
+            stride=stride,
+            weight_initializer=weight_initializer,
+            activation_func=activation_func,
+            use_batch_norm=use_batch_norm))
+    return Sequential(blocks)
+
+
+def _resnet_n_blocks(n_layer: int, n_filters: List[int]) -> List[int]:
+    if n_layer == 18:
+        n_blocks = [2, 2, 2, 2]
+    elif n_layer == 34:
+        n_blocks = [3, 4, 6, 3]
+    else:
+        raise ValueError('Only supports 18, 34 layer architecture')
+    for _ in range(len(n_filters) - len(n_blocks) - 1):
+        n_blocks = n_blocks + [n_blocks[-1]]
+    network_depth = len(n_filters)
+    assert network_depth < 8, 'Does not support network depth of 8 or more'
+    assert network_depth == len(n_blocks) + 1
+    return n_blocks
+
+
+class ResNetEncoder(Module):
+    """ResNet encoder with skip connections (src/networks.py:8-268).
+
+    Stage layout: conv1 (7x7/2) -> maxpool/2 + blocks2 -> blocks3/2 ->
+    blocks4/2 -> blocks5/2 [-> blocks6/2 -> blocks7/2].
+    forward returns (latent, skips) where skips are every stage output
+    except the input and the latent.
+    """
+
+    def __init__(self,
+                 n_layer: int,
+                 input_channels: int = 3,
+                 n_filters: List[int] = (32, 64, 128, 256, 256),
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func: str = 'leaky_relu',
+                 use_batch_norm: bool = False):
+        n_filters = list(n_filters)
+        n_blocks = _resnet_n_blocks(n_layer, n_filters)
+        act = F.activation_fn(activation_func)
+
+        self.children = {}
+        self.children['conv1'] = Conv2d(
+            input_channels, n_filters[0], kernel_size=7, stride=2,
+            weight_initializer=weight_initializer,
+            activation_func=act, use_batch_norm=use_batch_norm)
+
+        strides = [1, 2, 2, 2, 2, 2]
+        self.stage_names = []
+        for i in range(1, len(n_filters)):
+            name = 'blocks{}'.format(i + 1)
+            self.children[name] = _make_layer(
+                n_block=n_blocks[i - 1],
+                in_channels=n_filters[i - 1],
+                out_channels=n_filters[i],
+                stride=strides[i - 1],
+                weight_initializer=weight_initializer,
+                activation_func=act,
+                use_batch_norm=use_batch_norm)
+            self.stage_names.append(name)
+
+    def init(self, key):
+        return init_children(key, self.children)
+
+    def __call__(self, params, state, x, training=False):
+        new_state = dict(state)
+        layers = []
+        y, new_state['conv1'] = self.children['conv1'](
+            params['conv1'], state['conv1'], x, training=training)
+        layers.append(y)
+        for i, name in enumerate(self.stage_names):
+            if i == 0:
+                y = F.max_pool2d(y, kernel_size=3, stride=2, padding=1)
+            y, new_state[name] = self.children[name](
+                params[name], state[name], y, training=training)
+            layers.append(y)
+        return layers[-1], layers[:-1], new_state
+
+
+class FusionNetEncoder(Module):
+    """Two-branch (image, depth) encoder with per-scale fusion
+    (src/networks.py:270-1005). Fusion types: add, weight,
+    weight_and_project, concat."""
+
+    def __init__(self,
+                 n_layer: int = 18,
+                 input_channels_image: int = 3,
+                 input_channels_depth: int = 3,
+                 n_filters_encoder_image: List[int] = (32, 64, 128, 256, 256),
+                 n_filters_encoder_depth: List[int] = (32, 64, 128, 256, 256),
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func: str = 'leaky_relu',
+                 use_batch_norm: bool = False,
+                 fusion_type: str = 'add'):
+        self.fusion_type = fusion_type
+        n_fi = list(n_filters_encoder_image)
+        n_fd = list(n_filters_encoder_depth)
+        assert len(n_fi) == len(n_fd)
+        n_blocks = _resnet_n_blocks(n_layer, n_fi)
+        act = F.activation_fn(activation_func)
+        self.n_stages = len(n_fi)
+
+        ch: dict = {}
+        ch['conv1_image'] = Conv2d(
+            input_channels_image, n_fi[0], 7, 2, weight_initializer, act, use_batch_norm)
+        ch['conv1_depth'] = Conv2d(
+            input_channels_depth, n_fd[0], 7, 2, weight_initializer, act, use_batch_norm)
+        self._add_fusion(ch, 1, n_fd[0], n_fi[0], weight_initializer, use_batch_norm)
+
+        strides = [1, 2, 2, 2, 2, 2]
+        for i in range(1, len(n_fi)):
+            stage = i + 1
+            ch['blocks{}_image'.format(stage)] = _make_layer(
+                n_blocks[i - 1], n_fi[i - 1], n_fi[i], strides[i - 1],
+                weight_initializer, act, use_batch_norm)
+            ch['blocks{}_depth'.format(stage)] = _make_layer(
+                n_blocks[i - 1], n_fd[i - 1], n_fd[i], strides[i - 1],
+                weight_initializer, act, use_batch_norm)
+            self._add_fusion(ch, stage, n_fd[i], n_fi[i], weight_initializer, use_batch_norm)
+
+        self.children = ch
+
+    def _add_fusion(self, ch, stage, c_depth, c_image, weight_initializer,
+                    use_batch_norm):
+        """Per-scale fusion convs (reference builds one set per stage)."""
+        if self.fusion_type == 'add':
+            ch['conv{}_project'.format(stage)] = Conv2d(
+                c_depth, c_image, 1, 1, weight_initializer, None, use_batch_norm)
+        elif self.fusion_type == 'weight':
+            ch['conv{}_weight'.format(stage)] = Conv2d(
+                c_depth, c_depth, 3, 1, weight_initializer, 'sigmoid', use_batch_norm)
+        elif self.fusion_type == 'weight_and_project':
+            ch['conv{}_weight'.format(stage)] = Conv2d(
+                c_depth, c_image, 1, 1, weight_initializer, 'sigmoid', use_batch_norm)
+            ch['conv{}_project'.format(stage)] = Conv2d(
+                c_depth, c_image, 1, 1, weight_initializer, None, use_batch_norm)
+        elif self.fusion_type == 'concat':
+            pass
+        else:
+            raise ValueError('Unsupported fusion type: {}'.format(self.fusion_type))
+
+    def init(self, key):
+        return init_children(key, self.children)
+
+    def _fuse(self, params, state, new_state, stage, feat_image, feat_depth,
+              training):
+        ft = self.fusion_type
+        if ft == 'add':
+            name = 'conv{}_project'.format(stage)
+            proj, new_state[name] = self.children[name](
+                params[name], state[name], feat_depth, training=training)
+            return proj + feat_image
+        elif ft == 'weight':
+            name = 'conv{}_weight'.format(stage)
+            w, new_state[name] = self.children[name](
+                params[name], state[name], feat_depth, training=training)
+            return w * feat_depth + feat_image
+        elif ft == 'weight_and_project':
+            wname = 'conv{}_weight'.format(stage)
+            pname = 'conv{}_project'.format(stage)
+            w, new_state[wname] = self.children[wname](
+                params[wname], state[wname], feat_depth, training=training)
+            p, new_state[pname] = self.children[pname](
+                params[pname], state[pname], feat_depth, training=training)
+            return w * p + feat_image
+        elif ft == 'concat':
+            # stage 1 concatenates depth-first; later stages image-first
+            # (faithful to src/networks.py:868 vs :892 etc.)
+            if stage == 1:
+                return jnp.concatenate([feat_depth, feat_image], axis=-1)
+            return jnp.concatenate([feat_image, feat_depth], axis=-1)
+        else:
+            raise ValueError('Unsupported fusion type: {}'.format(ft))
+
+    def __call__(self, params, state, image, depth, training=False):
+        new_state = dict(state)
+        layers = []
+
+        fi, new_state['conv1_image'] = self.children['conv1_image'](
+            params['conv1_image'], state['conv1_image'], image, training=training)
+        fd, new_state['conv1_depth'] = self.children['conv1_depth'](
+            params['conv1_depth'], state['conv1_depth'], depth, training=training)
+        layers.append(self._fuse(params, state, new_state, 1, fi, fd, training))
+
+        for i in range(1, self.n_stages):
+            stage = i + 1
+            if i == 1:
+                fi = F.max_pool2d(fi, 3, 2, 1)
+                fd = F.max_pool2d(fd, 3, 2, 1)
+            iname = 'blocks{}_image'.format(stage)
+            dname = 'blocks{}_depth'.format(stage)
+            fi, new_state[iname] = self.children[iname](
+                params[iname], state[iname], fi, training=training)
+            fd, new_state[dname] = self.children[dname](
+                params[dname], state[dname], fd, training=training)
+            layers.append(self._fuse(params, state, new_state, stage, fi, fd, training))
+
+        return layers[-1], layers[:-1], new_state
+
+
+class FullyConnectedEncoder(Module):
+    """6-layer MLP point encoder (src/networks.py:1007-1067)."""
+
+    def __init__(self,
+                 input_channels: int = 3,
+                 n_neurons: List[int] = (32, 64, 96, 128, 256),
+                 latent_size: int = 29 * 10,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func: str = 'leaky_relu'):
+        act = F.activation_fn(activation_func)
+        dims = [input_channels] + list(n_neurons) + [latent_size]
+        layers = [
+            FullyConnected(dims[i], dims[i + 1],
+                           weight_initializer=weight_initializer,
+                           activation_func=act)
+            for i in range(len(dims) - 1)
+        ]
+        self.mlp = Sequential(layers)
+
+    def init(self, key):
+        p, s = self.mlp.init(key)
+        return {'mlp': p}, {'mlp': s}
+
+    def __call__(self, params, state, x, training=False):
+        y, s = self.mlp(params['mlp'], state['mlp'], x, training=training)
+        return y, {'mlp': s}
+
+
+class RadarNetV1Encoder(Module):
+    """Image encoder + per-point ROI pooling + MLP point encoder
+    (src/networks.py:1151-1256).
+
+    forward(image (B,H,W,3), points (B*K,3), x1 (B,K)) returns the fused
+    latent (B*K, h/32, w/32, C_img + C_pt) and per-point pooled skips.
+    """
+
+    def __init__(self,
+                 input_channels_image: int = 3,
+                 input_channels_depth: int = 3,
+                 input_patch_size_image: Tuple[int, int] = (900, 288),
+                 n_filters_encoder_image: List[int] = (32, 64, 128, 128, 128),
+                 n_neurons_encoder_depth: List[int] = (32, 64, 128, 128, 128),
+                 latent_size_depth: int = 128 * 28 * 9,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func: str = 'leaky_relu',
+                 use_batch_norm: bool = False):
+        self.n_neuron_latent_depth = list(n_neurons_encoder_depth)[-1]
+        self.input_patch_size_image = tuple(input_patch_size_image)
+        self.children = {
+            'encoder_image': ResNetEncoder(
+                n_layer=18,
+                input_channels=input_channels_image,
+                n_filters=n_filters_encoder_image,
+                weight_initializer=weight_initializer,
+                activation_func=activation_func,
+                use_batch_norm=use_batch_norm),
+            'encoder_depth': FullyConnectedEncoder(
+                input_channels=input_channels_depth,
+                n_neurons=n_neurons_encoder_depth,
+                latent_size=latent_size_depth,
+                weight_initializer=weight_initializer,
+                activation_func=activation_func),
+        }
+
+    def init(self, key):
+        return init_children(key, self.children)
+
+    def __call__(self, params, state, image, points, x1, box_height=None,
+                 training=False):
+        """
+        Arg(s):
+            image : (B, H, W, 3)
+            points : (B*K, 3) radar points (x, y, z)
+            x1 : (B, K) left edges of the per-point column boxes
+            box_height : static box height; defaults to the image height
+                (training boxes use patch_size[0], validation boxes use the
+                image height — identical when the patch spans full height)
+        """
+        new_state = dict(state)
+        patch_h, patch_w = self.input_patch_size_image
+        latent_height = int(patch_h // 32)
+        latent_width = int(patch_w // 32)
+        if box_height is None:
+            box_height = image.shape[1]
+
+        latent_image, skips_image, new_state['encoder_image'] = \
+            self.children['encoder_image'](
+                params['encoder_image'], state['encoder_image'], image,
+                training=training)
+
+        skip_scales = [1 / 2., 1 / 4., 1 / 8., 1 / 16., 1 / 32., 1 / 64., 1 / 128.]
+        skip_sizes = [
+            (int(patch_h * s), int(patch_w * s)) for s in skip_scales
+        ]
+
+        latent_pooled = roi_pool_column(
+            latent_image, x1, box_width=patch_w, box_y1=0, box_y2=box_height,
+            spatial_scale=1 / 32., output_size=(latent_height, latent_width))
+
+        skips_pooled = []
+        for idx, skip in enumerate(skips_image):
+            skips_pooled.append(roi_pool_column(
+                skip, x1, box_width=patch_w, box_y1=0, box_y2=box_height,
+                spatial_scale=skip_scales[idx], output_size=skip_sizes[idx]))
+
+        latent_depth, new_state['encoder_depth'] = self.children['encoder_depth'](
+            params['encoder_depth'], state['encoder_depth'], points,
+            training=training)
+        # torch .view(N, C, -1, W) on a (N, C*h*w) latent is C-major
+        latent_depth = latent_depth.reshape(
+            points.shape[0], self.n_neuron_latent_depth, -1, latent_width)
+        latent_depth = jnp.transpose(latent_depth, (0, 2, 3, 1))  # NHWC
+
+        latent = jnp.concatenate([latent_pooled, latent_depth], axis=-1)
+        return latent, skips_pooled, new_state
+
+
+class ResNetBasedEncoder(Module):
+    """Twin ResNet encoders with concat fusion (src/networks.py:1259-1331)."""
+
+    def __init__(self,
+                 n_layer: int,
+                 input_channels_image: int = 3,
+                 input_channels_depth: int = 1,
+                 n_filters_image: List[int] = (48, 96, 192, 384, 384),
+                 n_filters_depth: List[int] = (16, 32, 64, 128, 128),
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func: str = 'leaky_relu',
+                 use_batch_norm: bool = False):
+        self.children = {
+            'encoder_image': ResNetEncoder(
+                18, input_channels_image, n_filters_image,
+                weight_initializer, activation_func, use_batch_norm),
+            'encoder_depth': ResNetEncoder(
+                18, input_channels_depth, n_filters_depth,
+                weight_initializer, activation_func, use_batch_norm),
+        }
+
+    def init(self, key):
+        return init_children(key, self.children)
+
+    def __call__(self, params, state, image, depth, training=False):
+        new_state = dict(state)
+        li, si, new_state['encoder_image'] = self.children['encoder_image'](
+            params['encoder_image'], state['encoder_image'], image, training=training)
+        ld, sd, new_state['encoder_depth'] = self.children['encoder_depth'](
+            params['encoder_depth'], state['encoder_depth'], depth, training=training)
+        latent = jnp.concatenate([li, ld], axis=-1)
+        skips = [jnp.concatenate([a, b], axis=-1) for a, b in zip(si, sd)]
+        return latent, skips, new_state
+
+
+class MultiScaleDecoder(Module):
+    """Multi-scale decoder with skip connections (src/networks.py:1337-1657)."""
+
+    def __init__(self,
+                 input_channels: int = 256,
+                 output_channels: int = 1,
+                 n_resolution: int = 1,
+                 n_filters: List[int] = (256, 128, 64, 32, 16),
+                 n_skips: List[int] = (256, 128, 64, 32, 0),
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func: str = 'leaky_relu',
+                 output_func: str = 'linear',
+                 use_batch_norm: bool = False,
+                 deconv_type: str = 'up'):
+        n_filters = list(n_filters)
+        n_skips = list(n_skips)
+        network_depth = len(n_filters)
+        assert network_depth < 8, 'Does not support network depth of 8 or more'
+        assert 0 < n_resolution < network_depth
+
+        self.n_resolution = n_resolution
+        self.output_func = output_func
+        self.network_depth = network_depth
+        act = F.activation_fn(activation_func)
+        out_act = F.activation_fn(output_func)
+
+        if 'upsample' in self.output_func and self.n_resolution < 2:
+            self.n_resolution = 2
+
+        ch: dict = {}
+        filter_idx = 0
+        in_ch, skip_ch, out_ch = (
+            input_channels, n_skips[filter_idx], n_filters[filter_idx])
+
+        self.has_deconv6 = network_depth > 6
+        if self.has_deconv6:
+            ch['deconv6'] = DecoderBlock(
+                in_ch, skip_ch, out_ch, weight_initializer, act,
+                use_batch_norm, deconv_type)
+            filter_idx += 1
+            in_ch, skip_ch, out_ch = (
+                n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
+
+        self.has_deconv5 = network_depth > 5
+        if self.has_deconv5:
+            ch['deconv5'] = DecoderBlock(
+                in_ch, skip_ch, out_ch, weight_initializer, act,
+                use_batch_norm, deconv_type)
+            filter_idx += 1
+            in_ch, skip_ch, out_ch = (
+                n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
+
+        ch['deconv4'] = DecoderBlock(
+            in_ch, skip_ch, out_ch, weight_initializer, act,
+            use_batch_norm, deconv_type)
+
+        filter_idx += 1
+        in_ch, skip_ch, out_ch = (
+            n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
+        ch['deconv3'] = DecoderBlock(
+            in_ch, skip_ch, out_ch, weight_initializer, act,
+            use_batch_norm, deconv_type)
+        if self.n_resolution > 3:
+            ch['output3'] = Conv2d(out_ch, output_channels, 3, 1,
+                                   weight_initializer, out_act, False)
+
+        filter_idx += 1
+        in_ch, skip_ch, out_ch = (
+            n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
+        if self.n_resolution > 3:
+            skip_ch = skip_ch + output_channels
+        ch['deconv2'] = DecoderBlock(
+            in_ch, skip_ch, out_ch, weight_initializer, act,
+            use_batch_norm, deconv_type)
+        if self.n_resolution > 2:
+            ch['output2'] = Conv2d(out_ch, output_channels, 3, 1,
+                                   weight_initializer, out_act, False)
+
+        filter_idx += 1
+        in_ch, skip_ch, out_ch = (
+            n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
+        if self.n_resolution > 2:
+            skip_ch = skip_ch + output_channels
+        ch['deconv1'] = DecoderBlock(
+            in_ch, skip_ch, out_ch, weight_initializer, act,
+            use_batch_norm, deconv_type)
+        if self.n_resolution > 1:
+            ch['output1'] = Conv2d(out_ch, output_channels, 3, 1,
+                                   weight_initializer, out_act, False)
+
+        filter_idx += 1
+        in_ch, skip_ch, out_ch = (
+            n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
+        if self.n_resolution > 1:
+            skip_ch = skip_ch + output_channels
+        self.deconv0_skip_channels = skip_ch
+        ch['deconv0'] = DecoderBlock(
+            in_ch, skip_ch, out_ch, weight_initializer, act,
+            use_batch_norm, deconv_type)
+        ch['output0'] = Conv2d(out_ch, output_channels, 3, 1,
+                               weight_initializer, out_act, False)
+
+        self.children = ch
+
+    def init(self, key):
+        return init_children(key, self.children)
+
+    def __call__(self, params, state, x, skips, shape=None, training=False):
+        new_state = dict(state)
+        layers = [x]
+        outputs = []
+        n = len(skips) - 1
+
+        def run(name, inp, skip=None, out_shape=None):
+            y, s = self.children[name](
+                params[name], state[name], inp, skip=skip, shape=out_shape,
+                training=training)
+            new_state[name] = s
+            return y
+
+        def run_conv(name, inp):
+            y, s = self.children[name](params[name], state[name], inp,
+                                       training=training)
+            new_state[name] = s
+            return y
+
+        if self.has_deconv6:
+            layers.append(run('deconv6', layers[-1], skip=skips[n]))
+            n -= 1
+        if self.has_deconv5:
+            layers.append(run('deconv5', layers[-1], skip=skips[n]))
+            n -= 1
+
+        layers.append(run('deconv4', layers[-1], skip=skips[n]))
+
+        n -= 1
+        layers.append(run('deconv3', layers[-1], skip=skips[n]))
+
+        upsample_output3 = upsample_output2 = upsample_output1 = None
+        if self.n_resolution > 3:
+            outputs.append(run_conv('output3', layers[-1]))
+            h, w = outputs[-1].shape[1:3]
+            upsample_output3 = F.resize_bilinear_align_corners(
+                outputs[-1], (2 * h, 2 * w))
+
+        n -= 1
+        skip = (jnp.concatenate([skips[n], upsample_output3], axis=-1)
+                if self.n_resolution > 3 else skips[n])
+        layers.append(run('deconv2', layers[-1], skip=skip))
+
+        if self.n_resolution > 2:
+            outputs.append(run_conv('output2', layers[-1]))
+            h, w = outputs[-1].shape[1:3]
+            upsample_output2 = F.resize_bilinear_align_corners(
+                outputs[-1], (2 * h, 2 * w))
+
+        n -= 1
+        skip = (jnp.concatenate([skips[n], upsample_output2], axis=-1)
+                if self.n_resolution > 2 else skips[n])
+        layers.append(run('deconv1', layers[-1], skip=skip))
+
+        if self.n_resolution > 1:
+            outputs.append(run_conv('output1', layers[-1]))
+            h, w = outputs[-1].shape[1:3]
+            upsample_output1 = F.resize_bilinear_align_corners(
+                outputs[-1], (2 * h, 2 * w))
+
+        n -= 1
+        if 'upsample' in self.output_func:
+            output0 = upsample_output1
+        else:
+            if self.n_resolution > 1:
+                skip = (jnp.concatenate([skips[n], upsample_output1], axis=-1)
+                        if n == 0 else upsample_output1)
+                layers.append(run('deconv0', layers[-1], skip=skip))
+            else:
+                if n == 0:
+                    layers.append(run('deconv0', layers[-1], skip=skips[n]))
+                else:
+                    layers.append(run('deconv0', layers[-1],
+                                      out_shape=shape[-2:] if shape is not None else None))
+            output0 = run_conv('output0', layers[-1])
+
+        outputs.append(output0)
+        return outputs, new_state

@@ -1,0 +1,381 @@
+"""Network layers and blocks (TPU-native port of the reference primitive set).
+
+Reference: src/net_utils.py. Every class keeps the reference's parameter
+naming so state_dicts convert 1:1; all math is NHWC / HWIO jax.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import functional as F
+from .core import Module, Sequential, init_children
+
+
+class BatchNorm2d(Module):
+    """torch.nn.BatchNorm2d parity: eps 1e-5, momentum 0.1, affine,
+    tracked running stats (biased batch var to normalize, unbiased to
+    update running_var)."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5, momentum: float = 0.1):
+        self.num_features = num_features
+        self.eps = eps
+        self.momentum = momentum
+
+    def init(self, key):
+        params = {
+            'weight': jnp.ones((self.num_features,), jnp.float32),
+            'bias': jnp.zeros((self.num_features,), jnp.float32),
+        }
+        state = {
+            'running_mean': jnp.zeros((self.num_features,), jnp.float32),
+            'running_var': jnp.ones((self.num_features,), jnp.float32),
+            'num_batches_tracked': jnp.zeros((), jnp.int32),
+        }
+        return params, state
+
+    def __call__(self, params, state, x, training=False):
+        if training:
+            mean, var = F.batch_norm_train_stats(x)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased_var = var * (n / max(n - 1, 1))
+            m = self.momentum
+            new_state = {
+                'running_mean': (1 - m) * state['running_mean'] + m * mean,
+                'running_var': (1 - m) * state['running_var'] + m * unbiased_var,
+                'num_batches_tracked': state['num_batches_tracked'] + 1,
+            }
+            y = F.batch_norm_apply(x, params['weight'], params['bias'], mean, var, self.eps)
+            return y, new_state
+        else:
+            y = F.batch_norm_apply(
+                x, params['weight'], params['bias'],
+                state['running_mean'], state['running_var'], self.eps)
+            return y, state
+
+
+class Conv2d(Module):
+    """Conv (+ optional BN) (+ optional activation). src/net_utils.py:29-91."""
+
+    def __init__(self,
+                 in_channels: int,
+                 out_channels: int,
+                 kernel_size: int = 3,
+                 stride: int = 1,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func=('leaky_relu_default', 0.10),
+                 use_batch_norm: bool = False):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.weight_initializer = weight_initializer
+        self.activation = _resolve_activation(activation_func)
+        self.use_batch_norm = use_batch_norm
+        self.bn = BatchNorm2d(out_channels) if use_batch_norm else None
+
+    def init(self, key):
+        k_conv, k_bn = jax.random.split(key)
+        shape = (self.kernel_size, self.kernel_size, self.in_channels, self.out_channels)
+        params = {'conv': {'weight': F.init_conv_weight(k_conv, shape, self.weight_initializer)}}
+        state = {}
+        if self.bn is not None:
+            p, s = self.bn.init(k_bn)
+            params['batch_norm'] = p
+            state['batch_norm'] = s
+        return params, state
+
+    def __call__(self, params, state, x, training=False):
+        y = F.conv2d(x, params['conv']['weight'], stride=self.stride)
+        new_state = state
+        if self.bn is not None:
+            y, bn_state = self.bn(params['batch_norm'], state['batch_norm'], y, training=training)
+            new_state = {'batch_norm': bn_state}
+        if self.activation is not None:
+            y = self.activation(y)
+        return y, new_state
+
+
+class TransposeConv2d(Module):
+    """Transpose conv (+ optional BN/activation). src/net_utils.py:94-153."""
+
+    def __init__(self,
+                 in_channels: int,
+                 out_channels: int,
+                 kernel_size: int = 3,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func=('leaky_relu_default', 0.10),
+                 use_batch_norm: bool = False):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size
+        self.weight_initializer = weight_initializer
+        self.activation = _resolve_activation(activation_func)
+        self.use_batch_norm = use_batch_norm
+        self.bn = BatchNorm2d(out_channels) if use_batch_norm else None
+
+    def init(self, key):
+        k_conv, k_bn = jax.random.split(key)
+        # torch ConvTranspose2d weight is (in, out, kh, kw); we store HWIO
+        # with I=in_channels acting as the contraction dim of the dilated conv.
+        shape = (self.kernel_size, self.kernel_size, self.in_channels, self.out_channels)
+        # fan_in for torch ConvTranspose default init uses in_channels * k * k
+        params = {'deconv': {'weight': F.init_conv_weight(key=k_conv, shape_hwio=shape,
+                                                          initializer=self.weight_initializer)}}
+        state = {}
+        if self.bn is not None:
+            p, s = self.bn.init(k_bn)
+            params['batch_norm'] = p
+            state['batch_norm'] = s
+        return params, state
+
+    def __call__(self, params, state, x, training=False):
+        y = F.conv_transpose2d(x, params['deconv']['weight'], stride=2,
+                               padding=self.kernel_size // 2, output_padding=1)
+        new_state = state
+        if self.bn is not None:
+            y, bn_state = self.bn(params['batch_norm'], state['batch_norm'], y, training=training)
+            new_state = {'batch_norm': bn_state}
+        if self.activation is not None:
+            y = self.activation(y)
+        return y, new_state
+
+
+class UpConv2d(Module):
+    """Nearest upsample to target shape + conv. src/net_utils.py:156-198."""
+
+    def __init__(self,
+                 in_channels: int,
+                 out_channels: int,
+                 kernel_size: int = 3,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func=('leaky_relu_default', 0.10),
+                 use_batch_norm: bool = False):
+        self.conv = Conv2d(
+            in_channels, out_channels, kernel_size=kernel_size, stride=1,
+            weight_initializer=weight_initializer,
+            activation_func=activation_func,
+            use_batch_norm=use_batch_norm)
+
+    def init(self, key):
+        p, s = self.conv.init(key)
+        return {'conv': p}, {'conv': s}
+
+    def __call__(self, params, state, x, shape, training=False):
+        up = F.resize_nearest(x, shape)
+        y, s = self.conv(params['conv'], state['conv'], up, training=training)
+        return y, {'conv': s}
+
+
+class FullyConnected(Module):
+    """Linear (+ activation) (+ dropout). src/net_utils.py:201-247.
+
+    Dropout requires an rng; pass ``rng=`` when training with
+    dropout_rate > 0.
+    """
+
+    def __init__(self,
+                 in_features: int,
+                 out_features: int,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func=('leaky_relu_default', 0.10),
+                 dropout_rate: float = 0.0):
+        self.in_features = in_features
+        self.out_features = out_features
+        self.weight_initializer = weight_initializer
+        self.activation = _resolve_activation(activation_func)
+        self.dropout_rate = dropout_rate if 0.0 < dropout_rate <= 1.0 else 0.0
+
+    def init(self, key):
+        w, b = F.init_linear(key, self.in_features, self.out_features, self.weight_initializer)
+        return {'fully_connected': {'weight': w, 'bias': b}}, {}
+
+    def __call__(self, params, state, x, training=False, rng=None):
+        w = params['fully_connected']['weight'].astype(x.dtype)
+        b = params['fully_connected']['bias'].astype(x.dtype)
+        y = x @ w + b
+        if self.activation is not None:
+            y = self.activation(y)
+        if training and self.dropout_rate > 0.0 and rng is not None:
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout_rate, y.shape)
+            y = jnp.where(keep, y / (1.0 - self.dropout_rate), 0.0)
+        return y, state
+
+
+class ResNetBlock(Module):
+    """Basic residual block. src/net_utils.py:253-323.
+
+    Note: the reference constructs the 1x1 projection unconditionally (so it
+    is always present in checkpoints) but only applies it when the shape
+    changes; we replicate both behaviors.
+    """
+
+    def __init__(self,
+                 in_channels: int,
+                 out_channels: int,
+                 stride: int = 1,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func=('leaky_relu_default', 0.10),
+                 use_batch_norm: bool = False):
+        self.activation = _resolve_activation(activation_func)
+        self.use_projection = (stride != 1) or (in_channels != out_channels)
+        self.children = {
+            'conv1': Conv2d(in_channels, out_channels, 3, stride,
+                            weight_initializer, activation_func, use_batch_norm),
+            'conv2': Conv2d(out_channels, out_channels, 3, 1,
+                            weight_initializer, activation_func, use_batch_norm),
+            'projection': Conv2d(in_channels, out_channels, 1, stride,
+                                 weight_initializer, None, False),
+        }
+
+    def init(self, key):
+        return init_children(key, self.children)
+
+    def __call__(self, params, state, x, training=False):
+        new_state = dict(state)
+        y, new_state['conv1'] = self.children['conv1'](params['conv1'], state['conv1'], x, training=training)
+        y, new_state['conv2'] = self.children['conv2'](params['conv2'], state['conv2'], y, training=training)
+        if self.use_projection:
+            shortcut, new_state['projection'] = self.children['projection'](
+                params['projection'], state['projection'], x, training=training)
+        else:
+            shortcut = x
+        return self.activation(y + shortcut), new_state
+
+
+class ResNetBottleneckBlock(Module):
+    """Bottleneck residual block. src/net_utils.py:326-407.
+
+    Faithful to the reference, including its quirk of comparing shortcut
+    shape against conv2 (not conv3): the projection to 4*out_channels is
+    always applied because channel counts differ."""
+
+    def __init__(self,
+                 in_channels: int,
+                 out_channels: int,
+                 stride: int = 1,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func=('leaky_relu_default', 0.10),
+                 use_batch_norm: bool = False):
+        self.activation = _resolve_activation(activation_func)
+        # reference compares x.shape vs conv2.shape; projection applies when
+        # stride != 1 or in_channels != out_channels; but the residual add is
+        # conv3 (4*out) + shortcut, so shapes only work when projected.
+        self.use_projection = True
+        self.children = {
+            'conv1': Conv2d(in_channels, out_channels, 1, 1,
+                            weight_initializer, activation_func, use_batch_norm),
+            'conv2': Conv2d(out_channels, out_channels, 3, stride,
+                            weight_initializer, activation_func, use_batch_norm),
+            'conv3': Conv2d(out_channels, 4 * out_channels, 1, 1,
+                            weight_initializer, activation_func, use_batch_norm),
+            'projection': Conv2d(in_channels, 4 * out_channels, 1, stride,
+                                 weight_initializer, None, False),
+        }
+
+    def init(self, key):
+        return init_children(key, self.children)
+
+    def __call__(self, params, state, x, training=False):
+        new_state = dict(state)
+        y, new_state['conv1'] = self.children['conv1'](params['conv1'], state['conv1'], x, training=training)
+        y, new_state['conv2'] = self.children['conv2'](params['conv2'], state['conv2'], y, training=training)
+        y, new_state['conv3'] = self.children['conv3'](params['conv3'], state['conv3'], y, training=training)
+        shortcut, new_state['projection'] = self.children['projection'](
+            params['projection'], state['projection'], x, training=training)
+        return self.activation(y + shortcut), new_state
+
+
+class VGGNetBlock(Module):
+    """n_conv 3x3 convs, last one strided. src/net_utils.py:410-467."""
+
+    def __init__(self,
+                 in_channels: int,
+                 out_channels: int,
+                 n_conv: int = 1,
+                 stride: int = 1,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func=('leaky_relu_default', 0.10),
+                 use_batch_norm: bool = False):
+        layers = []
+        for _ in range(n_conv - 1):
+            layers.append(Conv2d(in_channels, out_channels, 3, 1,
+                                 weight_initializer, activation_func, use_batch_norm))
+            in_channels = out_channels
+        layers.append(Conv2d(in_channels, out_channels, 3, stride,
+                             weight_initializer, activation_func, use_batch_norm))
+        self.conv_block = Sequential(layers)
+
+    def init(self, key):
+        p, s = self.conv_block.init(key)
+        return {'conv_block': p}, {'conv_block': s}
+
+    def __call__(self, params, state, x, training=False):
+        y, s = self.conv_block(params['conv_block'], state['conv_block'], x, training=training)
+        return y, {'conv_block': s}
+
+
+class DecoderBlock(Module):
+    """Deconv/upconv + skip concat + conv. src/net_utils.py:473-569."""
+
+    def __init__(self,
+                 in_channels: int,
+                 skip_channels: int,
+                 out_channels: int,
+                 weight_initializer: str = 'kaiming_uniform',
+                 activation_func=('leaky_relu_default', 0.10),
+                 use_batch_norm: bool = False,
+                 deconv_type: str = 'up'):
+        self.skip_channels = skip_channels
+        self.deconv_type = deconv_type
+        if deconv_type == 'transpose':
+            self.deconv = TransposeConv2d(
+                in_channels, out_channels, 3, weight_initializer,
+                activation_func, use_batch_norm)
+        elif deconv_type == 'up':
+            self.deconv = UpConv2d(
+                in_channels, out_channels, 3, weight_initializer,
+                activation_func, use_batch_norm)
+        else:
+            raise ValueError('Unsupported deconv type: {}'.format(deconv_type))
+        concat_channels = skip_channels + out_channels
+        self.conv = Conv2d(concat_channels, out_channels, 3, 1,
+                           weight_initializer, activation_func, use_batch_norm)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        pd, sd = self.deconv.init(k1)
+        pc, sc = self.conv.init(k2)
+        return {'deconv': pd, 'conv': pc}, {'deconv': sd, 'conv': sc}
+
+    def __call__(self, params, state, x, skip=None, shape=None, training=False):
+        if self.deconv_type == 'transpose':
+            deconv, s_deconv = self.deconv(params['deconv'], state['deconv'], x, training=training)
+        else:
+            if skip is not None:
+                shape = skip.shape[1:3]
+            elif shape is not None:
+                pass
+            else:
+                shape = (2 * x.shape[1], 2 * x.shape[2])
+            deconv, s_deconv = self.deconv(params['deconv'], state['deconv'], x,
+                                           shape=shape, training=training)
+        if self.skip_channels > 0:
+            concat = jnp.concatenate([deconv, skip], axis=-1)
+        else:
+            concat = deconv
+        y, s_conv = self.conv(params['conv'], state['conv'], concat, training=training)
+        return y, {'deconv': s_deconv, 'conv': s_conv}
+
+
+def _resolve_activation(activation_func):
+    """Accept None, a string, a callable, or ('leaky_relu_default', slope)."""
+    if activation_func is None:
+        return None
+    if isinstance(activation_func, tuple) and activation_func[0] == 'leaky_relu_default':
+        slope = activation_func[1]
+        return lambda x: F.leaky_relu(x, negative_slope=slope)
+    return F.activation_fn(activation_func)

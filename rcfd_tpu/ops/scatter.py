@@ -1,0 +1,83 @@
+"""Quasi-dense scatter/argmax composite (RadarNet inference).
+
+TPU-native reformulation of the reference's scatter inference
+(src/radarnet_main.py:534-591): the reference materializes K full-size
+images, pastes each point's response crop, takes torch.max over the point
+axis, rewrites the argmax index with the point's metric depth, and zeroes
+pixels with no response.
+
+Here we never materialize K full frames. Each point's crop covers a fixed
+288-column window, so we express the composite as two width-indexed
+scatters + one gather:
+
+  1. scatter-max the thresholded responses into the (H, W) response map
+  2. scatter-min the point index where a point's response equals the map's
+     max (ties resolve to the smallest point index — identical to
+     torch.max's first-occurrence argmax)
+  3. gather z by winning index; zero where the max response is 0
+
+Supports padded/ragged point sets via a validity mask (masked points never
+win). Note: the reference's index→depth rewrite loop
+(src/radarnet_main.py:579-583) can corrupt outputs when a point's z value
+numerically equals a later point index; we implement the intended
+semantics (gather by argmax) instead — documented divergence.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def scatter_quasi_dense(response_crops, x_positions, z_values, valid,
+                        image_height: int, image_width: int,
+                        patch_size: Tuple[int, int],
+                        threshold: float = 0.5):
+    """Scatter per-point response crops into quasi-dense depth/response maps.
+
+    Arg(s):
+        response_crops : (K, ph, pw) sigmoid responses for each point's patch
+        x_positions : (K,) padded-coordinate x of each point (original x +
+            pw // 2, as produced by the datasets / validate box builders)
+        z_values : (K,) metric depth of each point
+        valid : (K,) bool mask for real (non-padding) points
+        image_height, image_width : original (unpadded) image size
+        patch_size : (ph, pw)
+        threshold : responses below this are zeroed (reference uses 0.5)
+    Returns:
+        depth_map : (H, W) quasi-dense depth
+        response_map : (H, W) confidence map
+    """
+    k, ph, pw = response_crops.shape
+    pad = pw // 2
+    h, w = image_height, image_width
+    crop_top = h - ph
+
+    vals = jnp.where(response_crops < threshold, 0.0, response_crops)
+    vals = jnp.where(valid[:, None, None], vals, 0.0)
+
+    # Column of crop pixel (k, j) in unpadded image coords:
+    # padded coords place the crop at [x - pad, x + pad); stripping the pad
+    # columns shifts by another -pad.
+    x_int = x_positions.astype(jnp.int32)
+    cols = x_int[:, None] - 2 * pad + jnp.arange(pw, dtype=jnp.int32)[None, :]
+    in_bounds = (cols >= 0) & (cols < w)
+    cols_c = jnp.clip(cols, 0, w - 1)
+    vals = jnp.where(in_bounds[:, None, :], vals.transpose(1, 0, 2), 0.0)
+    # vals now (ph, K, pw)
+
+    response_map = jnp.zeros((h, w), dtype=response_crops.dtype)
+    response_map = response_map.at[crop_top:, cols_c].max(vals)
+
+    # Winning point index: smallest k whose value equals the local max (> 0).
+    current = response_map[crop_top:, cols_c]  # (ph, K, pw)
+    k_idx = jnp.arange(k, dtype=jnp.int32)[None, :, None]
+    candidate = jnp.where((vals > 0) & (vals == current), k_idx, k)
+    idx_map = jnp.full((h, w), k, dtype=jnp.int32)
+    idx_map = idx_map.at[crop_top:, cols_c].min(candidate)
+
+    z_ext = jnp.concatenate([z_values.astype(response_crops.dtype),
+                             jnp.zeros((1,), response_crops.dtype)])
+    depth_map = jnp.where(response_map > 0, z_ext[idx_map], 0.0)
+    return depth_map, response_map

@@ -1,0 +1,197 @@
+"""Checkpoint I/O: native .npz pytrees plus torch ``.pth`` interop.
+
+The reference stores flat torch dicts (src/radarnet_model.py:225-233,
+src/fusionnet_model.py:360-368):
+    RadarNet: train_step, radarnet_optimizer_state_dict,
+              radarnet_encoder_state_dict, radarnet_decoder_state_dict
+    FusionNet: train_step, optimizer_state_dict, encoder_state_dict,
+               decoder_state_dict
+
+We preserve those formats byte-for-byte in spirit: a ``.pth`` written here
+loads in the reference code and vice versa. Layout conversions:
+    conv weight   OIHW   <-> HWIO   (transpose (2,3,1,0) / (3,2,0,1))
+    deconv weight IOHW   <-> HWIO(I)  (transpose (2,3,0,1))
+    linear weight (O,I)  <-> (I,O)
+DataParallel 'module.' prefixes are stripped on load (the reference wraps
+encoder/decoder in DataParallel before saving — src/radarnet_model.py:260-266).
+
+torch is used for ``.pth`` serialization only (host I/O), never for compute.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..nn.core import flatten_tree, unflatten_tree
+
+
+def _is_deconv_key(key: str) -> bool:
+    return key.endswith('deconv.weight') and not key.endswith('conv.conv.weight')
+
+
+def torch_state_dict_to_tree(state_dict) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a torch state_dict (tensors or numpy) into (params, state)
+    pytrees with our layouts. Returns nested dicts of numpy arrays."""
+    params_flat: Dict[str, np.ndarray] = {}
+    state_flat: Dict[str, np.ndarray] = {}
+    for key, value in state_dict.items():
+        if key.startswith('module.'):
+            key = key[len('module.'):]
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, 'detach') else value)
+        leaf = key.rsplit('.', 1)[-1]
+        if leaf in ('running_mean', 'running_var', 'num_batches_tracked'):
+            if leaf == 'num_batches_tracked':
+                arr = arr.astype(np.int32)
+            state_flat[key] = arr
+            continue
+        if leaf == 'weight':
+            if arr.ndim == 4:
+                if _is_deconv_key(key):
+                    arr = np.transpose(arr, (2, 3, 0, 1))  # IOHW -> HWIO(I-contract)
+                else:
+                    arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+            elif arr.ndim == 2:
+                arr = arr.T  # (O, I) -> (I, O)
+        params_flat[key] = arr
+    return unflatten_tree(params_flat), unflatten_tree(state_flat)
+
+
+def tree_to_torch_state_dict(params, state=None):
+    """Convert (params, state) pytrees back to a torch-layout state_dict
+    (numpy values; caller wraps in torch tensors for .pth export)."""
+    out: Dict[str, np.ndarray] = {}
+    for key, arr in flatten_tree(params).items():
+        arr = np.asarray(arr)
+        leaf = key.rsplit('.', 1)[-1]
+        if leaf == 'weight':
+            if arr.ndim == 4:
+                if _is_deconv_key(key):
+                    arr = np.transpose(arr, (2, 3, 0, 1))
+                else:
+                    arr = np.transpose(arr, (3, 2, 0, 1))
+            elif arr.ndim == 2:
+                arr = arr.T
+        out[key] = arr
+    if state is not None:
+        for key, arr in flatten_tree(state).items():
+            arr = np.asarray(arr)
+            if key.endswith('num_batches_tracked'):
+                arr = arr.astype(np.int64)
+            out[key] = arr
+    return out
+
+
+def _merge_state_dict_order(params, state):
+    """Interleave params and BN buffers in torch registration order.
+
+    torch state_dict order within a BN module is weight, bias, running_mean,
+    running_var, num_batches_tracked. Our trees keep params and buffers
+    separate; merge by walking the params tree and appending the state
+    buffers of the same module path right after its params."""
+    flat_p = tree_to_torch_state_dict(params)
+    flat_s = tree_to_torch_state_dict(state) if state else {}
+    ordered: Dict[str, np.ndarray] = {}
+    for key in flat_p:
+        ordered[key] = flat_p[key]
+        if key.endswith('batch_norm.bias'):
+            prefix = key[:-len('bias')]
+            for suffix in ('running_mean', 'running_var', 'num_batches_tracked'):
+                skey = prefix + suffix
+                if skey in flat_s:
+                    ordered[skey] = flat_s.pop(skey)
+    ordered.update(flat_s)
+    return ordered
+
+
+def conform_to_template(template, loaded, fill_missing: bool = False,
+                        path: str = ''):
+    """Restructure a loaded (possibly sparse) tree to match a template tree
+    (e.g. from jax.eval_shape): same dict keys, leaves taken from `loaded`.
+
+    Modules without buffers produce no entries in a converted torch
+    state_dict; `fill_missing` inserts zero leaves for those (state trees),
+    while params trees require every leaf to be present.
+    """
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            sub = loaded.get(k, {} if isinstance(v, dict) else None) \
+                if isinstance(loaded, dict) else None
+            out[k] = conform_to_template(v, sub, fill_missing, f'{path}{k}.')
+        return out
+    # leaf
+    if loaded is None:
+        if fill_missing:
+            return np.zeros(template.shape, dtype=np.dtype(template.dtype))
+        raise KeyError('missing checkpoint leaf: {}'.format(path[:-1]))
+    arr = np.asarray(loaded)
+    if tuple(arr.shape) != tuple(template.shape):
+        raise ValueError('shape mismatch at {}: checkpoint {} vs model {}'.format(
+            path[:-1], arr.shape, tuple(template.shape)))
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# torch .pth interop
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference .pth checkpoint into a dict of numpy structures."""
+    import torch  # host I/O only
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    return ckpt
+
+
+def save_torch_checkpoint(path: str, checkpoint: Dict[str, Any]):
+    """Save a dict (with numpy-valued state_dicts) as a torch .pth."""
+    import torch  # host I/O only
+
+    def to_torch(obj):
+        if isinstance(obj, dict):
+            return {k: to_torch(v) for k, v in obj.items()}
+        if isinstance(obj, np.ndarray):
+            return torch.from_numpy(np.ascontiguousarray(obj))
+        if isinstance(obj, (np.integer,)):
+            return int(obj)
+        if isinstance(obj, (np.floating,)):
+            return float(obj)
+        return obj
+
+    torch.save(to_torch(checkpoint), path)
+
+
+# ---------------------------------------------------------------------------
+# Native format (.npz) — no torch required
+# ---------------------------------------------------------------------------
+
+def save_native_checkpoint(path: str, trees: Dict[str, Any], meta: Optional[dict] = None):
+    """Save named pytrees as one .npz with a JSON manifest."""
+    arrays: Dict[str, np.ndarray] = {}
+    manifest = {'trees': list(trees.keys()), 'meta': meta or {}}
+    for name, tree in trees.items():
+        for key, arr in flatten_tree(tree).items():
+            arrays[f'{name}/{key}'] = np.asarray(arr)
+    arrays['__manifest__'] = np.frombuffer(
+        json.dumps(manifest).encode('utf-8'), dtype=np.uint8)
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_native_checkpoint(path: str) -> Tuple[Dict[str, Any], dict]:
+    data = np.load(path, allow_pickle=False)
+    manifest = json.loads(bytes(data['__manifest__']).decode('utf-8'))
+    trees: Dict[str, Dict[str, np.ndarray]] = {name: {} for name in manifest['trees']}
+    for key in data.files:
+        if key == '__manifest__':
+            continue
+        name, flat_key = key.split('/', 1)
+        trees[name][flat_key] = data[key]
+    return ({name: unflatten_tree(flat) for name, flat in trees.items()},
+            manifest['meta'])

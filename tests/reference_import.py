@@ -1,0 +1,105 @@
+"""Import the public reference implementation (read-only, for parity tests).
+
+The reference at /root/reference is PyTorch code; torchvision is not
+installed in this image, so we register a minimal stub exposing only what
+the reference's model-side imports touch:
+  - torchvision.ops.roi_pool — reimplemented here in pure torch from the
+    documented torchvision kernel semantics (round(coord*scale) box
+    quantization, +1 roi size, floor/ceil bin edges, empty bins -> 0).
+    This doubles as the ground truth for our JAX roi_pool tests.
+  - torchvision.utils.make_grid / transforms.functional — unused by the
+    forward paths under test; stubbed with minimal behavior.
+
+Nothing from /root/reference is copied into this repository; tests import
+it in place and skip when unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+REFERENCE_SRC = '/root/reference/src'
+
+
+def torch_roi_pool(feat, boxes_list, spatial_scale, output_size):
+    """torchvision.ops.roi_pool reference semantics in pure torch.
+
+    feat: (N, C, H, W); boxes_list: list of (K, 4) [x1, y1, x2, y2] per image
+    (torchvision's List[Tensor] form). Returns (N*K, C, ph, pw).
+    """
+    import torch
+
+    n, c, h, w = feat.shape
+    ph, pw = output_size
+    out = []
+    for b, boxes in enumerate(boxes_list):
+        for roi in boxes:
+            x1, y1, x2, y2 = [float(v) for v in roi]
+            start_w = int(round(x1 * spatial_scale))
+            start_h = int(round(y1 * spatial_scale))
+            end_w = int(round(x2 * spatial_scale))
+            end_h = int(round(y2 * spatial_scale))
+            roi_w = max(end_w - start_w + 1, 1)
+            roi_h = max(end_h - start_h + 1, 1)
+            bin_h = roi_h / ph
+            bin_w = roi_w / pw
+            pooled = torch.zeros((c, ph, pw), dtype=feat.dtype)
+            for i in range(ph):
+                hstart = min(max(int(np_floor(i * bin_h)) + start_h, 0), h)
+                hend = min(max(int(np_ceil((i + 1) * bin_h)) + start_h, 0), h)
+                for j in range(pw):
+                    wstart = min(max(int(np_floor(j * bin_w)) + start_w, 0), w)
+                    wend = min(max(int(np_ceil((j + 1) * bin_w)) + start_w, 0), w)
+                    if hend <= hstart or wend <= wstart:
+                        continue
+                    patch = feat[b, :, hstart:hend, wstart:wend]
+                    pooled[:, i, j] = patch.reshape(c, -1).max(dim=1).values
+            out.append(pooled)
+    return torch.stack(out, dim=0)
+
+
+def np_floor(x):
+    import math
+    return math.floor(x)
+
+
+def np_ceil(x):
+    import math
+    return math.ceil(x)
+
+
+def install_torchvision_stub():
+    if 'torchvision' in sys.modules:
+        return sys.modules['torchvision']
+    tv = types.ModuleType('torchvision')
+    ops = types.ModuleType('torchvision.ops')
+    ops.roi_pool = lambda feat, boxes, spatial_scale, output_size: \
+        torch_roi_pool(feat, boxes, spatial_scale, output_size)
+    utils = types.ModuleType('torchvision.utils')
+    utils.make_grid = lambda x, nrow=8: x
+    transforms = types.ModuleType('torchvision.transforms')
+    functional = types.ModuleType('torchvision.transforms.functional')
+    transforms.functional = functional
+    tv.ops = ops
+    tv.utils = utils
+    tv.transforms = transforms
+    sys.modules['torchvision'] = tv
+    sys.modules['torchvision.ops'] = ops
+    sys.modules['torchvision.utils'] = utils
+    sys.modules['torchvision.transforms'] = transforms
+    sys.modules['torchvision.transforms.functional'] = functional
+    return tv
+
+
+def import_reference(module_name: str):
+    """Import a module from the read-only reference tree (or skip)."""
+    import pytest
+    if not os.path.isdir(REFERENCE_SRC):
+        pytest.skip('reference tree not available')
+    install_torchvision_stub()
+    if REFERENCE_SRC not in sys.path:
+        sys.path.insert(0, REFERENCE_SRC)
+    import importlib
+    return importlib.import_module(module_name)
