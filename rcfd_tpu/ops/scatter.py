@@ -64,7 +64,7 @@ def scatter_quasi_dense(response_crops, x_positions, z_values, valid,
     cols = x_int[:, None] - 2 * pad + jnp.arange(pw, dtype=jnp.int32)[None, :]
     in_bounds = (cols >= 0) & (cols < w)
     cols_c = jnp.clip(cols, 0, w - 1)
-    vals = jnp.where(in_bounds[:, None, :], vals.transpose(1, 0, 2), 0.0)
+    vals = jnp.where(in_bounds[None, :, :], vals.transpose(1, 0, 2), 0.0)
     # vals now (ph, K, pw)
 
     response_map = jnp.zeros((h, w), dtype=response_crops.dtype)

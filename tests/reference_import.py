@@ -37,10 +37,12 @@ def torch_roi_pool(feat, boxes_list, spatial_scale, output_size):
     for b, boxes in enumerate(boxes_list):
         for roi in boxes:
             x1, y1, x2, y2 = [float(v) for v in roi]
-            start_w = int(round(x1 * spatial_scale))
-            start_h = int(round(y1 * spatial_scale))
-            end_w = int(round(x2 * spatial_scale))
-            end_h = int(round(y2 * spatial_scale))
+            # C++ std::round (half away from zero), not Python banker's
+            cround = lambda v: np_floor(v + 0.5) if v >= 0 else -np_floor(-v + 0.5)
+            start_w = int(cround(x1 * spatial_scale))
+            start_h = int(cround(y1 * spatial_scale))
+            end_w = int(cround(x2 * spatial_scale))
+            end_h = int(cround(y2 * spatial_scale))
             roi_w = max(end_w - start_w + 1, 1)
             roi_h = max(end_h - start_h + 1, 1)
             bin_h = roi_h / ph
