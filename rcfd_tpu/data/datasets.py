@@ -1,0 +1,288 @@
+"""Datasets (host-side, numpy) mirroring reference src/datasets.py.
+
+Differences from the reference by design:
+- NHWC instead of NCHW (TPU-native layout).
+- Explicit np.random.Generator plumbed per sample (deterministic across
+  runs and worker counts), instead of global np.random/random state.
+- RadarNet inference pads the ragged radar point axis to a static maximum
+  with a validity mask (TPU static shapes) — see pad_points().
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import io as data_utils
+
+
+def random_crop(inputs, shape, crop_type=('none',), rng=None):
+    """Joint crop of HWC inputs (reference src/datasets.py:19-109).
+
+    crop_type: none, horizontal, vertical, anchored, top, bottom, left,
+    right, center. 'vertical' applies with probability 0.3.
+    """
+    rng = rng or np.random.default_rng()
+    n_height, n_width = shape
+    o_height, o_width = inputs[0].shape[0], inputs[0].shape[1]
+
+    d_height = o_height - n_height
+    d_width = o_width - n_width
+
+    y_start = d_height // 2
+    x_start = d_width // 2
+
+    if 'left' in crop_type:
+        x_start = 0
+    elif 'right' in crop_type:
+        x_start = d_width
+    elif 'horizontal' in crop_type:
+        if 'anchored' in crop_type:
+            widths = [0.0, 0.50 * d_width, 1.0 * d_width]
+            x_start = int(widths[rng.integers(0, len(widths))])
+        else:
+            x_start = int(rng.integers(0, max(d_width, 1)))
+
+    if 'top' in crop_type:
+        y_start = 0
+    elif 'bottom' in crop_type:
+        y_start = d_height
+    elif 'vertical' in crop_type and rng.random() <= 0.30:
+        if 'anchored' in crop_type:
+            heights = [0.0, 0.50 * d_height, 1.0 * d_height]
+            y_start = int(heights[rng.integers(0, len(heights))])
+        else:
+            y_start = int(rng.integers(0, max(d_height, 1)))
+    elif 'center' in crop_type:
+        pass
+
+    y_end = y_start + n_height
+    x_end = x_start + n_width
+    return [t[y_start:y_end, x_start:x_end, :] for t in inputs]
+
+
+def pad_points(points: np.ndarray, max_points: int):
+    """Pad a ragged (N, 3) point set to (max_points, 3) + validity mask.
+
+    If N > max_points the set is truncated (callers should size max_points
+    to cover the dataset; nuScenes front-radar accumulations are a few
+    hundred points at most)."""
+    n = points.shape[0]
+    out = np.zeros((max_points, 3), dtype=np.float32)
+    valid = np.zeros((max_points,), dtype=bool)
+    m = min(n, max_points)
+    out[:m] = points[:m]
+    valid[:m] = True
+    return out, valid
+
+
+class RadarNetTrainingDataset:
+    """Per-sample: padded image, K sampled radar points, per-point boxes,
+    per-point ground-truth crops (reference src/datasets.py:112-271)."""
+
+    def __init__(self,
+                 image_paths: List[str],
+                 radar_paths: List[str],
+                 ground_truth_paths: List[str],
+                 patch_size: Tuple[int, int],
+                 total_points_sampled: int,
+                 sample_probability_of_lidar: float):
+        self.n_sample = len(image_paths)
+        assert self.n_sample == len(ground_truth_paths)
+        assert self.n_sample == len(radar_paths)
+        self.image_paths = image_paths
+        self.radar_paths = radar_paths
+        self.ground_truth_paths = ground_truth_paths
+        self.patch_size = tuple(patch_size)
+        self.pad_size_x = patch_size[1] // 2
+        self.total_points_sampled = total_points_sampled
+        self.sample_probability_of_lidar = sample_probability_of_lidar
+
+    def __len__(self):
+        return self.n_sample
+
+    def get(self, index: int, rng: np.random.Generator):
+        pad = self.pad_size_x
+        image = data_utils.load_image(self.image_paths[index], normalize=False,
+                                      data_format='HWC')
+        image = np.pad(image, ((0, 0), (pad, pad), (0, 0)), mode='edge')
+
+        radar_points = np.load(self.radar_paths[index])
+        if radar_points.ndim == 1:
+            radar_points = np.expand_dims(radar_points, axis=0)
+
+        if radar_points.shape[0] <= self.total_points_sampled:
+            radar_points = np.repeat(radar_points, 100, axis=0)
+        random_idx = rng.integers(radar_points.shape[0],
+                                  size=self.total_points_sampled)
+        radar_points = radar_points[random_idx, :].astype(np.float32)
+
+        ground_truth = data_utils.load_depth(self.ground_truth_paths[index],
+                                             data_format='HWC')
+
+        if rng.random() < self.sample_probability_of_lidar:
+            gt2d = ground_truth[..., 0]
+            idx_y, idx_x = np.where(gt2d > 1)
+            if len(idx_y) >= self.total_points_sampled:
+                sel = rng.choice(len(idx_y), size=self.total_points_sampled,
+                                 replace=False)
+                points_x = idx_x[sel]
+                points_y = idx_y[sel]
+                points_z = gt2d[points_y, points_x]
+                noise_x = rng.normal(0, 25, self.total_points_sampled)
+                noise_z = rng.uniform(0.0, 0.4, self.total_points_sampled)
+                fake = np.copy(radar_points)
+                fake[:, 0] = np.clip(points_x + noise_x, 0, gt2d.shape[1])
+                # y keeps the original (erroneous) radar value on purpose
+                # (src/datasets.py:216)
+                fake[:, 2] = points_z + noise_z
+                fake[:, 0] = fake[:, 0].astype(int)
+                fake[:, 1] = fake[:, 1].astype(int)
+                radar_points = fake
+
+        # shift x by pad; build full-height fixed-width boxes
+        radar_points[:, 0] = radar_points[:, 0] + pad
+        x1 = radar_points[:, 0] - pad
+        bboxes = np.stack([
+            x1,
+            np.zeros_like(x1),
+            radar_points[:, 0] + pad,
+            np.full_like(x1, self.patch_size[0]),
+        ], axis=1).astype(np.float32)
+
+        ground_truth = np.pad(ground_truth, ((0, 0), (pad, pad), (0, 0)),
+                              mode='constant')
+
+        start_y = image.shape[0] - self.patch_size[0]
+        crops = []
+        for i in range(radar_points.shape[0]):
+            sx = int(radar_points[i, 0] - pad)
+            ex = int(radar_points[i, 0] + pad)
+            crops.append(ground_truth[start_y:, sx:ex, :])
+        ground_truth_crops = np.stack(crops, axis=0)  # (K, ph, pw, 1)
+
+        image = image[start_y:, ...]
+
+        return (image.astype(np.float32),
+                radar_points.astype(np.float32),
+                bboxes,
+                ground_truth_crops.astype(np.float32))
+
+
+class RadarNetInferenceDataset:
+    """Full image + all radar points (padded) + optional ground truth
+    (reference src/datasets.py:274-343)."""
+
+    def __init__(self, image_paths, radar_paths, ground_truth_paths=None,
+                 max_points: int = 128):
+        self.n_sample = len(image_paths)
+        assert self.n_sample == len(radar_paths)
+        self.image_paths = image_paths
+        self.radar_paths = radar_paths
+        self.max_points = max_points
+        if ground_truth_paths is not None and None not in ground_truth_paths:
+            assert self.n_sample == len(ground_truth_paths)
+            self.ground_truth_available = True
+        else:
+            self.ground_truth_available = False
+        self.ground_truth_paths = ground_truth_paths
+
+    def __len__(self):
+        return self.n_sample
+
+    def get(self, index: int, rng=None):
+        image = data_utils.load_image(self.image_paths[index], normalize=False,
+                                      data_format='HWC')
+        radar_points = np.load(self.radar_paths[index]).astype(np.float32)
+        if radar_points.ndim == 1:
+            radar_points = np.expand_dims(radar_points, axis=0)
+        points, valid = pad_points(radar_points, self.max_points)
+        out = [image.astype(np.float32), points, valid]
+        if self.ground_truth_available:
+            out.append(data_utils.load_depth(
+                self.ground_truth_paths[index], data_format='HWC').astype(np.float32))
+        return tuple(out)
+
+
+class FusionNetTrainingDataset:
+    """image/depth/response/ground-truth/lidar quintuple with joint random
+    crop (reference src/datasets.py:346-443)."""
+
+    def __init__(self,
+                 image_paths,
+                 depth_paths,
+                 response_paths,
+                 ground_truth_paths,
+                 lidar_map_paths,
+                 shape: Optional[Tuple[int, int]] = None,
+                 random_crop_type: Sequence[str] = ('none',)):
+        self.n_sample = len(image_paths)
+        for paths in [depth_paths, response_paths, ground_truth_paths, lidar_map_paths]:
+            assert len(paths) == self.n_sample
+        self.image_paths = image_paths
+        self.depth_paths = depth_paths
+        self.response_paths = response_paths
+        self.ground_truth_paths = ground_truth_paths
+        self.lidar_map_paths = lidar_map_paths
+        self.shape = shape
+        self.do_random_crop = \
+            self.shape is not None and all([x > 0 for x in self.shape])
+        self.random_crop_type = tuple(random_crop_type)
+
+    def __len__(self):
+        return self.n_sample
+
+    def get(self, index: int, rng: np.random.Generator):
+        image = data_utils.load_image(self.image_paths[index], normalize=False,
+                                      data_format='HWC')
+        # NOTE: the reference loads the response stream with load_depth
+        # (x256), not load_response — faithful here (src/datasets.py:412-415)
+        depth = data_utils.load_depth(self.depth_paths[index], data_format='HWC')
+        response = data_utils.load_depth(self.response_paths[index], data_format='HWC')
+        ground_truth = data_utils.load_depth(self.ground_truth_paths[index],
+                                             data_format='HWC')
+        lidar_map = data_utils.load_depth(self.lidar_map_paths[index],
+                                          data_format='HWC')
+        if self.do_random_crop:
+            image, depth, response, ground_truth, lidar_map = random_crop(
+                inputs=[image, depth, response, ground_truth, lidar_map],
+                shape=self.shape,
+                crop_type=self.random_crop_type,
+                rng=rng)
+        return tuple(t.astype(np.float32)
+                     for t in [image, depth, response, ground_truth, lidar_map])
+
+
+class FusionNetInferenceDataset:
+    """image/depth/response (+ optional GT) at full resolution
+    (reference src/datasets.py:446-527)."""
+
+    def __init__(self, image_paths, depth_paths, response_paths,
+                 ground_truth_paths=None):
+        self.n_sample = len(image_paths)
+        self.image_paths = image_paths
+        self.depth_paths = depth_paths
+        self.response_paths = response_paths
+        if ground_truth_paths is not None and None not in ground_truth_paths:
+            assert self.n_sample == len(ground_truth_paths)
+            self.ground_truth_available = True
+        else:
+            self.ground_truth_available = False
+        self.ground_truth_paths = ground_truth_paths
+
+    def __len__(self):
+        return self.n_sample
+
+    def get(self, index: int, rng=None):
+        image = data_utils.load_image(self.image_paths[index], normalize=False,
+                                      data_format='HWC')
+        depth = data_utils.load_depth(self.depth_paths[index], data_format='HWC')
+        response = data_utils.load_depth(self.response_paths[index],
+                                         data_format='HWC')
+        out = [image.astype(np.float32), depth.astype(np.float32),
+               response.astype(np.float32)]
+        if self.ground_truth_available:
+            out.append(data_utils.load_depth(
+                self.ground_truth_paths[index], data_format='HWC').astype(np.float32))
+        return tuple(out)

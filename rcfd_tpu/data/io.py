@@ -1,0 +1,125 @@
+"""Host-side data I/O: path manifests, 16-bit PNG codecs, interpolation.
+
+Byte-compatible with the reference's formats (src/data_utils.py:128-379):
+depth maps are 16/32-bit 'I'-mode PNGs quantized by x256; response maps by
+x2^14; radar point sets are .npy float arrays of shape (N, 3) = (x, y, z)
+in image-plane coordinates.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def read_paths(filepath: str) -> List[str]:
+    """Read a newline-delimited path manifest (stops at the first empty
+    line, like the reference src/data_utils.py:128-150)."""
+    path_list = []
+    with open(filepath) as f:
+        while True:
+            path = f.readline().rstrip('\n')
+            if path == '':
+                break
+            path_list.append(path)
+    return path_list
+
+
+def write_paths(filepath: str, paths: List[str]):
+    with open(filepath, 'w') as o:
+        for path in paths:
+            o.write(path + '\n')
+
+
+def load_image(path: str, normalize: bool = False, data_format: str = 'HWC'):
+    """Load an RGB image as float32 (src/data_utils.py:167-198)."""
+    image = Image.open(path).convert('RGB')
+    image = np.asarray(image, np.float32)
+    if data_format == 'HWC':
+        pass
+    elif data_format == 'CHW':
+        image = np.transpose(image, (2, 0, 1))
+    else:
+        raise ValueError('Unsupported data format: {}'.format(data_format))
+    return image / 255.0 if normalize else image
+
+
+def save_image(image, path: str):
+    """Save a [0, 1] float image as 8-bit RGB."""
+    Image.fromarray((255.0 * np.asarray(image)).astype(np.uint8)).save(path)
+
+
+def _expand(z, data_format):
+    if data_format == 'HW':
+        return z
+    elif data_format == 'CHW':
+        return np.expand_dims(z, axis=0)
+    elif data_format == 'HWC':
+        return np.expand_dims(z, axis=-1)
+    raise ValueError('Unsupported data format: {}'.format(data_format))
+
+
+def load_depth(path: str, multiplier: float = 256.0, data_format: str = 'HW'):
+    """Load a depth map from a 16/32-bit PNG (src/data_utils.py:238-269)."""
+    z = np.array(Image.open(path), dtype=np.float32)
+    z = z / multiplier
+    z[z <= 0] = 0.0
+    return _expand(z, data_format)
+
+
+def load_depth_with_validity_map(path: str, multiplier: float = 256.0,
+                                 data_format: str = 'HW'):
+    z = np.array(Image.open(path), dtype=np.float32)
+    z = z / multiplier
+    z[z <= 0] = 0.0
+    v = z.astype(np.float32).copy()
+    v[z > 0] = 1.0
+    return _expand(z, data_format), _expand(v, data_format)
+
+
+def save_depth(z, path: str, multiplier: float = 256.0):
+    """Save a depth map as an 'I'-mode PNG quantized by `multiplier`
+    (src/data_utils.py:271-286)."""
+    z = np.uint32(np.asarray(z) * multiplier)
+    Image.fromarray(z.astype(np.int32), mode='I').save(path)
+
+
+def load_response(path: str, multiplier: float = 2 ** 14, data_format: str = 'HW'):
+    """Load a response (confidence) map (src/data_utils.py:288-318)."""
+    response = np.array(Image.open(path), dtype=np.float32)
+    response = response / multiplier
+    return _expand(response, data_format)
+
+
+def save_response(response, path: str, multiplier: float = 2 ** 14):
+    response = np.uint32(np.asarray(response) * multiplier)
+    Image.fromarray(response.astype(np.int32), mode='I').save(path)
+
+
+def interpolate_depth(depth_map, validity_map, log_space: bool = False):
+    """Densify sparse depth by barycentric (Delaunay) interpolation
+    (src/data_utils.py:337-379). Host-side scipy/Qhull — offline GT path."""
+    from scipy.interpolate import LinearNDInterpolator
+
+    assert depth_map.ndim == 2 and validity_map.ndim == 2
+    rows, cols = depth_map.shape
+    data_row_idx, data_col_idx = np.where(validity_map)
+    depth_values = depth_map[data_row_idx, data_col_idx]
+    if log_space:
+        depth_values = np.log(depth_values)
+    interpolator = LinearNDInterpolator(
+        points=np.stack([data_row_idx, data_col_idx], axis=1),
+        values=depth_values,
+        fill_value=0 if not log_space else np.log(1e-3))
+    query_row_idx, query_col_idx = np.meshgrid(
+        np.arange(rows), np.arange(cols), indexing='ij')
+    query_coord = np.stack(
+        [query_row_idx.ravel(), query_col_idx.ravel()], axis=1)
+    z = interpolator(query_coord).reshape([rows, cols])
+    if log_space:
+        z = np.exp(z)
+        z[z < 1e-1] = 0.0
+    return z

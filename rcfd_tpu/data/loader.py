@@ -1,0 +1,108 @@
+"""Threaded prefetching data loader (host side).
+
+The reference feeds the GPU with torch DataLoader worker processes
+(src/radarnet_main.py:111-121, src/fusionnet_main.py:112-123). Here the
+loader is a thread pool (PIL/numpy release the GIL for decode/copy) with a
+bounded prefetch queue; batches are stacked numpy arrays ready for
+jax.device_put. Determinism: each sample draw gets a Generator seeded by
+(seed, epoch, position), so results do not depend on worker count or
+scheduling.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self,
+                 dataset,
+                 batch_size: int,
+                 shuffle: bool = False,
+                 num_workers: int = 8,
+                 seed: int = 0,
+                 drop_last: bool = False,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _order(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __iter__(self) -> Iterator:
+        order = self._order()
+        n = len(order)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                continue
+            batches.append((start, idx))
+
+        out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def fetch_sample(pos, index):
+            rng = np.random.default_rng((self.seed, self.epoch, int(pos)))
+            return self.dataset.get(int(index), rng)
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    for start, idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(ex.map(
+                            fetch_sample,
+                            range(start, start + len(idx)), idx))
+                        collated = tuple(
+                            np.stack([s[i] for s in samples], axis=0)
+                            for i in range(len(samples[0])))
+                        out_q.put(collated)
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+        self.epoch += 1

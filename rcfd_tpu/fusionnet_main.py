@@ -1,0 +1,641 @@
+"""FusionNet driver: train / validate / run.
+
+TPU-native port of reference src/fusionnet_main.py. The hot path is one
+jitted SPMD step: device-side augmentation -> forward -> GT dilation /
+outlier removal -> masked multi-scale loss -> Adam, with gradients
+psum-reduced over a 'data' mesh axis (replacing torch DataParallel).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import io as data_utils
+from .data.datasets import FusionNetInferenceDataset, FusionNetTrainingDataset
+from .data.loader import DataLoader
+from .data.transforms import Transforms
+from .models.fusionnet import FusionNetModel
+from .nn import functional as NF
+from .parallel.mesh import get_mesh
+from .parallel.optim import adam_step, init_adam
+from .utils import eval_utils
+from .utils.log_utils import log
+from .utils.summary import SummaryWriter
+
+
+def _build_model(input_channels_image, input_channels_depth, encoder_type,
+                 n_filters_encoder_image, n_filters_encoder_depth, fusion_type,
+                 decoder_type, n_resolutions_decoder, n_filters_decoder,
+                 weight_initializer, activation_func, min_predict_depth,
+                 max_predict_depth):
+    return FusionNetModel(
+        input_channels_image=input_channels_image,
+        input_channels_depth=input_channels_depth,
+        encoder_type=encoder_type,
+        n_filters_encoder_image=n_filters_encoder_image,
+        n_filters_encoder_depth=n_filters_encoder_depth,
+        fusion_type=fusion_type,
+        decoder_type=decoder_type,
+        n_resolution_decoder=n_resolutions_decoder,
+        n_filters_decoder=n_filters_decoder,
+        deconv_type='up',
+        activation_func=activation_func,
+        weight_initializer=weight_initializer,
+        min_predict_depth=min_predict_depth,
+        max_predict_depth=max_predict_depth)
+
+
+def _make_train_step(model: FusionNetModel,
+                     transforms: Transforms,
+                     loss_func: str,
+                     w_smoothness: float,
+                     w_lidar_loss: float,
+                     w_weight_decay: float,
+                     loss_smoothness_kernel_size: int,
+                     outlier_kernel_size: int,
+                     outlier_threshold: float,
+                     dilation_kernel_size: int,
+                     axis_name: Optional[str] = None):
+    """Build the pure per-shard train step."""
+
+    def step(params, state, opt_state, batch, key, lr, aug_prob):
+        image, depth, response, ground_truth, lidar_map = batch
+
+        (image_t,), (depth, response, ground_truth, lidar_map) = \
+            transforms.transform(
+                key, [image],
+                range_maps_arr=[depth, response, ground_truth, lidar_map],
+                random_transform_probability=aug_prob)
+
+        input_depth = jnp.concatenate([depth, response], axis=-1)
+
+        if dilation_kernel_size > 1:
+            ground_truth = NF.max_pool2d(
+                ground_truth, kernel_size=dilation_kernel_size, stride=1,
+                padding=dilation_kernel_size // 2)
+        if outlier_kernel_size > 1 and outlier_threshold > 0:
+            ground_truth = NF.outlier_removal(
+                ground_truth, outlier_kernel_size, outlier_threshold)
+
+        validity_map_loss_smoothness = jnp.where(ground_truth > 0, 0.0, 1.0)
+
+        def loss_fn(p):
+            output_depth, new_state = model.apply(
+                p, state, image_t, input_depth, training=True)
+            loss, loss_info = model.compute_loss(
+                image=image_t,
+                output_depth=output_depth,
+                ground_truth=ground_truth,
+                lidar_map=lidar_map,
+                loss_func=loss_func,
+                w_smoothness=w_smoothness,
+                loss_smoothness_kernel_size=loss_smoothness_kernel_size,
+                validity_map_loss_smoothness=validity_map_loss_smoothness,
+                w_lidar_loss=w_lidar_loss)
+            return loss, (new_state, loss_info)
+
+        grads, (new_state, loss_info) = jax.grad(loss_fn, has_aux=True)(params)
+
+        if axis_name is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, axis_name), grads)
+            new_state = jax.tree_util.tree_map(
+                lambda s: jax.lax.pmean(s, axis_name)
+                if jnp.issubdtype(s.dtype, jnp.floating) else s, new_state)
+            loss_info = jax.tree_util.tree_map(
+                lambda v: jax.lax.pmean(v, axis_name), loss_info)
+
+        params, opt_state = adam_step(params, grads, opt_state, lr,
+                                      weight_decay=w_weight_decay)
+        return params, new_state, opt_state, loss_info
+
+    return step
+
+
+def make_forward_fn(model: FusionNetModel, transforms: Transforms):
+    """Jitted inference forward over one normalized full-res frame."""
+
+    @jax.jit
+    def forward(params, state, image, depth, response):
+        (image_t,) = transforms.transform(
+            jax.random.PRNGKey(0), [image], random_transform_probability=0.0)
+        input_depth = jnp.concatenate([depth, response], axis=-1)
+        output_depth, _ = model.apply(params, state, image_t, input_depth,
+                                      training=False)
+        return output_depth
+
+    return forward
+
+
+def train(train_image_path,
+          train_depth_path,
+          train_response_path,
+          train_ground_truth_path,
+          train_lidar_map_path,
+          val_image_path,
+          val_depth_path,
+          val_response_path,
+          val_ground_truth_path,
+          # Batch settings
+          batch_size,
+          n_height,
+          n_width,
+          # Input settings
+          input_channels_image,
+          input_channels_depth,
+          normalized_image_range,
+          # Network settings
+          encoder_type,
+          n_filters_encoder_image,
+          n_filters_encoder_depth,
+          fusion_type,
+          decoder_type,
+          n_filters_decoder,
+          n_resolutions_decoder,
+          min_predict_depth,
+          max_predict_depth,
+          # Weight settings
+          weight_initializer,
+          activation_func,
+          # Training settings
+          learning_rates,
+          learning_schedule,
+          # Loss settings
+          loss_func,
+          w_smoothness,
+          w_lidar_loss,
+          w_weight_decay,
+          loss_smoothness_kernel_size,
+          outlier_removal_kernel_size,
+          outlier_removal_threshold,
+          ground_truth_dilation_kernel_size,
+          # Augmentation settings
+          augmentation_probabilities,
+          augmentation_schedule,
+          augmentation_random_crop_type,
+          augmentation_random_brightness,
+          augmentation_random_contrast,
+          augmentation_random_saturation,
+          augmentation_random_flip_type,
+          # Evaluation settings
+          min_evaluate_depth,
+          max_evaluate_depth,
+          # Checkpoint settings
+          checkpoint_dirpath,
+          n_step_per_checkpoint,
+          n_step_per_summary,
+          start_step_validation,
+          restore_path,
+          # Hardware settings
+          device='tpu',
+          n_thread=8,
+          n_data_parallel: Optional[int] = None,
+          seed: int = 0):
+    """Training loop (reference src/fusionnet_main.py:13-474)."""
+
+    if not os.path.exists(checkpoint_dirpath):
+        os.makedirs(checkpoint_dirpath)
+
+    checkpoint_path = os.path.join(checkpoint_dirpath, 'model-{}.pth')
+    log_path = os.path.join(checkpoint_dirpath, 'results.txt')
+    event_path = os.path.join(checkpoint_dirpath, 'events')
+
+    best_results = {
+        'step': -1, 'mae': np.inf, 'rmse': np.inf,
+        'imae': np.inf, 'irmse': np.inf,
+    }
+
+    # Paths
+    train_image_paths = data_utils.read_paths(train_image_path)
+    train_depth_paths = data_utils.read_paths(train_depth_path)
+    train_response_paths = data_utils.read_paths(train_response_path)
+    train_ground_truth_paths = data_utils.read_paths(train_ground_truth_path)
+    train_lidar_map_paths = data_utils.read_paths(train_lidar_map_path)
+
+    n_train_sample = len(train_image_paths)
+    for paths in [train_depth_paths, train_response_paths,
+                  train_ground_truth_paths, train_lidar_map_paths]:
+        assert n_train_sample == len(paths)
+
+    n_train_step = int(
+        learning_schedule[-1] * np.ceil(n_train_sample / batch_size))
+
+    train_loader = DataLoader(
+        FusionNetTrainingDataset(
+            image_paths=train_image_paths,
+            depth_paths=train_depth_paths,
+            response_paths=train_response_paths,
+            ground_truth_paths=train_ground_truth_paths,
+            lidar_map_paths=train_lidar_map_paths,
+            shape=(n_height, n_width),
+            random_crop_type=augmentation_random_crop_type),
+        batch_size=batch_size,
+        shuffle=True,
+        num_workers=n_thread,
+        seed=seed,
+        drop_last=True)
+
+    train_transforms = Transforms(
+        normalized_image_range=normalized_image_range,
+        random_brightness=augmentation_random_brightness,
+        random_contrast=augmentation_random_contrast,
+        random_saturation=augmentation_random_saturation,
+        random_flip_type=augmentation_random_flip_type)
+
+    val_transforms = Transforms(normalized_image_range=normalized_image_range)
+
+    val_image_paths = data_utils.read_paths(val_image_path)
+    val_depth_paths = data_utils.read_paths(val_depth_path)
+    val_response_paths = data_utils.read_paths(val_response_path)
+    val_ground_truth_paths = data_utils.read_paths(val_ground_truth_path)
+    n_val_sample = len(val_image_paths)
+    for paths in [val_depth_paths, val_response_paths, val_ground_truth_paths]:
+        assert n_val_sample == len(paths)
+
+    val_dataset = FusionNetInferenceDataset(
+        image_paths=val_image_paths,
+        depth_paths=val_depth_paths,
+        response_paths=val_response_paths,
+        ground_truth_paths=val_ground_truth_paths)
+
+    # Model
+    model = _build_model(
+        input_channels_image, input_channels_depth, encoder_type,
+        n_filters_encoder_image, n_filters_encoder_depth, fusion_type,
+        decoder_type, n_resolutions_decoder, n_filters_decoder,
+        weight_initializer, activation_func, min_predict_depth,
+        max_predict_depth)
+
+    params, state = model.init(jax.random.PRNGKey(seed))
+    opt_state = init_adam(params)
+
+    train_step = 0
+    if restore_path is not None and restore_path != '':
+        params, state, train_step, opt_sd = model.restore_checkpoint(restore_path)
+        if opt_sd:
+            from .utils.checkpoint import torch_adam_to_optax
+            try:
+                opt_state = torch_adam_to_optax(params, opt_sd)
+            except Exception as e:
+                log('Could not restore optimizer state ({}); reinitializing'.format(e),
+                    log_path)
+                opt_state = init_adam(params)
+
+    # Device mesh (data parallel)
+    n_devices = n_data_parallel or jax.device_count()
+    use_mesh = n_devices > 1
+    axis_name = 'data' if use_mesh else None
+
+    step_fn = _make_train_step(
+        model, train_transforms, loss_func, w_smoothness, w_lidar_loss,
+        w_weight_decay, loss_smoothness_kernel_size,
+        outlier_removal_kernel_size, outlier_removal_threshold,
+        ground_truth_dilation_kernel_size, axis_name=axis_name)
+
+    if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        mesh = get_mesh(n_devices)
+        assert batch_size % n_devices == 0, \
+            'batch_size must divide the data-parallel device count'
+        step_fn = shard_map(
+            step_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P('data'), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_rep=False)
+        batch_sharding = NamedSharding(mesh, P('data'))
+        replicated = NamedSharding(mesh, P())
+        params = jax.device_put(params, replicated)
+        state = jax.device_put(state, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
+    else:
+        batch_sharding = None
+
+    step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+    forward_fn = make_forward_fn(model, val_transforms)
+
+    train_summary_writer = SummaryWriter(event_path + '-train')
+    val_summary_writer = SummaryWriter(event_path + '-val')
+
+    log_training_banner(
+        log_path, model=model, params=params, batch_size=batch_size,
+        n_train_sample=n_train_sample, n_train_step=n_train_step,
+        learning_rates=learning_rates, learning_schedule=learning_schedule,
+        encoder_type=encoder_type, decoder_type=decoder_type,
+        fusion_type=fusion_type, loss_func=loss_func,
+        n_devices=n_devices if use_mesh else 1)
+
+    learning_schedule_pos = 0
+    augmentation_schedule_pos = 0
+    learning_rate = learning_rates[0]
+    augmentation_probability = augmentation_probabilities[0]
+
+    rng = jax.random.PRNGKey(seed + 1)
+    time_start = time.time()
+    log('Begin training...', log_path)
+
+    for epoch in range(1, learning_schedule[-1] + 1):
+        if epoch > learning_schedule[learning_schedule_pos]:
+            learning_schedule_pos += 1
+            learning_rate = learning_rates[learning_schedule_pos]
+
+        if -1 not in augmentation_schedule and \
+                epoch > augmentation_schedule[augmentation_schedule_pos]:
+            augmentation_schedule_pos += 1
+            augmentation_probability = \
+                augmentation_probabilities[augmentation_schedule_pos]
+
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            train_step += 1
+            rng, step_key = jax.random.split(rng)
+
+            batch = tuple(jnp.asarray(b) for b in batch)
+            if batch_sharding is not None:
+                batch = jax.device_put(batch, batch_sharding)
+
+            params, state, opt_state, loss_info = step_jit(
+                params, state, opt_state, batch, step_key,
+                jnp.float32(learning_rate), jnp.float32(augmentation_probability))
+
+            if (train_step % n_step_per_summary) == 0:
+                for name, value in loss_info.items():
+                    train_summary_writer.add_scalar(
+                        'train-' + name, float(value), global_step=train_step)
+
+            if (train_step % n_step_per_checkpoint) == 0:
+                loss_val = float(loss_info['loss'])
+                time_elapse = (time.time() - time_start) / 3600
+                time_remain = (n_train_step - train_step) * time_elapse / train_step
+                log('Step={:6}/{}  Loss={:.5f}  Time Elapsed={:.2f}h  '
+                    'Time Remaining={:.2f}h'.format(
+                        train_step, n_train_step, loss_val, time_elapse,
+                        time_remain), log_path)
+
+                if train_step >= start_step_validation:
+                    best_results = validate(
+                        model=model, params=params, state=state,
+                        forward_fn=forward_fn, dataset=val_dataset,
+                        step=train_step, best_results=best_results,
+                        min_evaluate_depth=min_evaluate_depth,
+                        max_evaluate_depth=max_evaluate_depth,
+                        summary_writer=val_summary_writer,
+                        log_path=log_path)
+
+                model.save_checkpoint(
+                    checkpoint_path.format(train_step), params, state,
+                    step=train_step,
+                    optimizer_state_dict=_export_opt(params, opt_state,
+                                                     learning_rate,
+                                                     w_weight_decay))
+
+    best_results = validate(
+        model=model, params=params, state=state, forward_fn=forward_fn,
+        dataset=val_dataset, step=train_step, best_results=best_results,
+        min_evaluate_depth=min_evaluate_depth,
+        max_evaluate_depth=max_evaluate_depth,
+        summary_writer=val_summary_writer, log_path=log_path)
+
+    model.save_checkpoint(
+        checkpoint_path.format(train_step), params, state, step=train_step,
+        optimizer_state_dict=_export_opt(params, opt_state, learning_rate,
+                                         w_weight_decay))
+    return best_results
+
+
+def _export_opt(params, opt_state, lr, weight_decay):
+    from .utils.checkpoint import optax_adam_to_torch_state
+    try:
+        return optax_adam_to_torch_state(
+            jax.device_get(params), jax.device_get(opt_state), lr, weight_decay)
+    except Exception:
+        return {}
+
+
+def validate(model, params, state, forward_fn, dataset, step, best_results,
+             min_evaluate_depth, max_evaluate_depth, summary_writer,
+             log_path=None):
+    """Full-resolution validation (reference src/fusionnet_main.py:476-606)."""
+    n_sample = len(dataset)
+    mae = np.zeros(n_sample)
+    rmse = np.zeros(n_sample)
+    imae = np.zeros(n_sample)
+    irmse = np.zeros(n_sample)
+
+    for idx in range(n_sample):
+        image, depth, response, ground_truth = dataset.get(idx)
+        output_depth = forward_fn(
+            params, state,
+            jnp.asarray(image)[None], jnp.asarray(depth)[None],
+            jnp.asarray(response)[None])
+        output_depth = np.asarray(output_depth)[0, :, :, 0]
+        gt = ground_truth[..., 0]
+
+        m = eval_utils.compute_all(output_depth, gt, min_evaluate_depth,
+                                   max_evaluate_depth)
+        mae[idx], rmse[idx] = m['mae'], m['rmse']
+        imae[idx], irmse[idx] = m['imae'], m['irmse']
+
+    mae, rmse, imae, irmse = (np.mean(mae), np.mean(rmse), np.mean(imae),
+                              np.mean(irmse))
+
+    if summary_writer is not None:
+        for k, v in [('mae', mae), ('rmse', rmse), ('imae', imae),
+                     ('irmse', irmse)]:
+            summary_writer.add_scalar('eval-' + k, v, global_step=step)
+
+    log_evaluation_results('Validation results', mae, rmse, imae, irmse, step,
+                           log_path)
+
+    n_improve = 0
+    n_improve += int(np.round(mae, 2) <= np.round(best_results['mae'], 2))
+    n_improve += int(np.round(rmse, 2) <= np.round(best_results['rmse'], 2))
+    n_improve += int(np.round(imae, 2) <= np.round(best_results['imae'], 2))
+    n_improve += int(np.round(irmse, 2) <= np.round(best_results['irmse'], 2))
+
+    if n_improve > 2:
+        best_results.update(
+            {'step': step, 'mae': mae, 'rmse': rmse, 'imae': imae,
+             'irmse': irmse})
+
+    log_evaluation_results(
+        'Best results', best_results['mae'], best_results['rmse'],
+        best_results['imae'], best_results['irmse'], best_results['step'],
+        log_path)
+    return best_results
+
+
+def run(restore_path,
+        image_path,
+        depth_path,
+        response_path,
+        ground_truth_path,
+        # Input settings
+        input_channels_image,
+        input_channels_depth,
+        normalized_image_range,
+        # Network settings
+        encoder_type,
+        n_filters_encoder_image,
+        n_filters_encoder_depth,
+        fusion_type,
+        decoder_type,
+        n_filters_decoder,
+        n_resolutions_decoder,
+        min_predict_depth,
+        max_predict_depth,
+        # Weight settings
+        weight_initializer,
+        activation_func,
+        # Output settings
+        output_dirpath,
+        save_outputs,
+        keep_input_filenames,
+        verbose=True,
+        # Evaluation settings
+        min_evaluate_depth=0.0,
+        max_evaluate_depth=100.0):
+    """Inference + evaluation over a manifest
+    (reference src/fusionnet_main.py:608-896)."""
+
+    os.makedirs(output_dirpath, exist_ok=True)
+    log_path = os.path.join(output_dirpath, 'results.txt')
+
+    image_paths = data_utils.read_paths(image_path)
+    depth_paths = data_utils.read_paths(depth_path)
+    response_paths = data_utils.read_paths(response_path)
+    n_sample = len(image_paths)
+
+    ground_truth_available = (
+        ground_truth_path is not None and os.path.exists(ground_truth_path))
+    if ground_truth_available:
+        ground_truth_paths = data_utils.read_paths(ground_truth_path)
+    else:
+        ground_truth_paths = [None] * n_sample
+
+    dataset = FusionNetInferenceDataset(
+        image_paths=image_paths,
+        depth_paths=depth_paths,
+        response_paths=response_paths,
+        ground_truth_paths=ground_truth_paths)
+
+    transforms = Transforms(normalized_image_range=normalized_image_range)
+
+    if save_outputs:
+        output_dirs = {
+            name: os.path.join(output_dirpath, name)
+            for name in ['image', 'ground_truth', 'output_depth_fusion',
+                         'output_depth_radar', 'output_response_radar']
+        }
+        for dirpath in output_dirs.values():
+            os.makedirs(dirpath, exist_ok=True)
+
+    model = _build_model(
+        input_channels_image, input_channels_depth, encoder_type,
+        n_filters_encoder_image, n_filters_encoder_depth, fusion_type,
+        decoder_type, n_resolutions_decoder, n_filters_decoder,
+        weight_initializer, activation_func, min_predict_depth,
+        max_predict_depth)
+    params, state, step, _ = model.restore_checkpoint(restore_path)
+    forward_fn = make_forward_fn(model, transforms)
+
+    log('Evaluation input paths:', log_path)
+    for p in [image_path, depth_path, response_path] + \
+            ([ground_truth_path] if ground_truth_available else []):
+        log(str(p), log_path)
+    log('', log_path)
+
+    if ground_truth_available:
+        mae = np.zeros(n_sample)
+        rmse = np.zeros(n_sample)
+        imae = np.zeros(n_sample)
+        irmse = np.zeros(n_sample)
+
+    for idx in range(n_sample):
+        data = dataset.get(idx)
+        if ground_truth_available:
+            image, depth, response, ground_truth = data
+        else:
+            image, depth, response = data
+
+        output_depth = forward_fn(
+            params, state, jnp.asarray(image)[None],
+            jnp.asarray(depth)[None], jnp.asarray(response)[None])
+        output_depth_fusion = np.asarray(output_depth)[0, :, :, 0]
+
+        if verbose:
+            print('Processed {}/{} samples'.format(idx + 1, n_sample), end='\r')
+
+        if ground_truth_available:
+            gt = ground_truth[..., 0]
+            m = eval_utils.compute_all(output_depth_fusion, gt,
+                                       min_evaluate_depth, max_evaluate_depth)
+            mae[idx], rmse[idx] = m['mae'], m['rmse']
+            imae[idx], irmse[idx] = m['imae'], m['irmse']
+
+        if save_outputs:
+            if keep_input_filenames:
+                filename = os.path.splitext(
+                    os.path.basename(image_paths[idx]))[0] + '.png'
+            else:
+                filename = '{:010d}.png'.format(idx)
+            data_utils.save_image(
+                image / 255.0, os.path.join(output_dirs['image'], filename))
+            data_utils.save_depth(
+                output_depth_fusion,
+                os.path.join(output_dirs['output_depth_fusion'], filename))
+            data_utils.save_depth(
+                depth[..., 0],
+                os.path.join(output_dirs['output_depth_radar'], filename))
+            data_utils.save_response(
+                response[..., 0],
+                os.path.join(output_dirs['output_response_radar'], filename))
+            if ground_truth_available:
+                data_utils.save_depth(
+                    gt, os.path.join(output_dirs['ground_truth'], filename))
+
+    if ground_truth_available:
+        log_evaluation_results(
+            'Evaluation results', np.mean(mae), np.mean(rmse), np.mean(imae),
+            np.mean(irmse), step, log_path)
+        return {'mae': float(np.mean(mae)), 'rmse': float(np.mean(rmse)),
+                'imae': float(np.mean(imae)), 'irmse': float(np.mean(irmse))}
+    return None
+
+
+'''
+Logging helpers
+'''
+
+
+def log_evaluation_results(title, mae, rmse, imae, irmse, step,
+                           log_path=None):
+    log('{}:'.format(title), log_path)
+    log('{:>8}  {:>8}  {:>8}  {:>8}  {:>8}'.format(
+        'Step', 'MAE', 'RMSE', 'iMAE', 'iRMSE'), log_path)
+    log('{:8}  {:8.3f}  {:8.3f}  {:8.3f}  {:8.3f}'.format(
+        step, mae, rmse, imae, irmse), log_path)
+
+
+def log_training_banner(log_path, model, params, batch_size, n_train_sample,
+                        n_train_step, learning_rates, learning_schedule,
+                        encoder_type, decoder_type, fusion_type, loss_func,
+                        n_devices):
+    log('Network settings:', log_path)
+    log('encoder_type={}  decoder_type={}  fusion_type={}'.format(
+        encoder_type, decoder_type, fusion_type), log_path)
+    log('n_parameters={}'.format(model.n_parameters(params)), log_path)
+    log('', log_path)
+    log('Training settings:', log_path)
+    log('batch_size={}  n_train_sample={}  n_train_step={}  n_devices={}'.format(
+        batch_size, n_train_sample, n_train_step, n_devices), log_path)
+    log('learning_rates={}  learning_schedule={}  loss_func={}'.format(
+        learning_rates, learning_schedule, loss_func), log_path)
+    log('', log_path)

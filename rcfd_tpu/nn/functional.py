@@ -193,10 +193,9 @@ def conv_transpose2d(x, w, stride: int = 2, padding: Optional[int] = None,
 
 def max_pool2d(x, kernel_size: int = 3, stride: int = 2, padding: int = 1):
     """Max pool over NHWC with -inf padding (torch.nn.MaxPool2d parity)."""
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
     return lax.reduce_window(
         x,
-        neg_inf,
+        -jnp.inf,
         lax.max,
         window_dimensions=(1, kernel_size, kernel_size, 1),
         window_strides=(1, stride, stride, 1),
@@ -216,10 +215,9 @@ def min_pool2d(x, kernel_size: int, stride: int = 1, padding: int = 0,
             mode='constant',
             constant_values=pad_value,
         )
-    pos_inf = jnp.array(jnp.inf, dtype=x.dtype)
     return lax.reduce_window(
         x,
-        pos_inf,
+        jnp.inf,
         lax.min,
         window_dimensions=(1, kernel_size, kernel_size, 1),
         window_strides=(1, stride, stride, 1),

@@ -1,0 +1,66 @@
+"""Device mesh + data-parallel step builders.
+
+TPU-native replacement for the reference's torch.nn.DataParallel
+(src/radarnet_model.py:260-266, src/fusionnet_model.py:395-401): a 1-D
+'data' mesh with the batch sharded over ICI, gradients reduced with psum,
+parameters/optimizer state replicated. The mesh keeps a named axis so the
+same step functions extend to multi-axis layouts (tensor/pipeline axes are
+unused by these ~10-40M-param CNNs but the plumbing is mesh-general).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: Optional[int] = None, axis_name: str = 'data') -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = 'data'):
+    """Shard a batch pytree along its leading axis over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel_step(mesh: Mesh, step_fn: Callable, axis_name: str = 'data',
+                       donate_argnums=()):
+    """Wrap a per-shard train step into a pjit-ed SPMD program.
+
+    step_fn(params, state, opt_state, batch, *args) must already contain a
+    lax.pmean/psum over `axis_name` for gradients (use
+    jax.lax.pmean(grads, axis_name)); this wrapper supplies the mesh
+    context via shard_map.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def spec_like(leading_sharded):
+        return P(axis_name) if leading_sharded else P()
+
+    wrapped = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False)
+    return jax.jit(wrapped, donate_argnums=donate_argnums)
+
+
+def pmean_tree(tree, axis_name: str = 'data'):
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, axis_name), tree)

@@ -131,6 +131,9 @@ def conform_to_template(template, loaded, fill_missing: bool = False,
         raise KeyError('missing checkpoint leaf: {}'.format(path[:-1]))
     arr = np.asarray(loaded)
     if tuple(arr.shape) != tuple(template.shape):
+        if arr.size == int(np.prod(template.shape)):
+            # 0-d vs (1,) round-trip artifacts of scalar buffers
+            return arr.reshape(template.shape)
         raise ValueError('shape mismatch at {}: checkpoint {} vs model {}'.format(
             path[:-1], arr.shape, tuple(template.shape)))
     return arr
@@ -163,6 +166,84 @@ def save_torch_checkpoint(path: str, checkpoint: Dict[str, Any]):
         return obj
 
     torch.save(to_torch(checkpoint), path)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state interop (our Adam <-> torch.optim.Adam state_dict)
+# ---------------------------------------------------------------------------
+
+def optax_adam_to_torch_state(params, opt_state, lr: float,
+                              weight_decay: float) -> dict:
+    """Convert our Adam state ({'count','mu','nu'} mirroring params) into a
+    torch.optim.Adam state_dict. Parameter indexing follows torch's
+    registration order, which equals our params-tree insertion order; moment
+    tensors get the same layout transposes as weights."""
+    flat_p = tree_to_torch_state_dict(params)
+    flat_mu = tree_to_torch_state_dict(opt_state['mu'])
+    flat_nu = tree_to_torch_state_dict(opt_state['nu'])
+    step = int(np.asarray(opt_state['count']))
+    state = {}
+    for i, key in enumerate(flat_p):
+        state[i] = {
+            'step': step,
+            'exp_avg': flat_mu[key],
+            'exp_avg_sq': flat_nu[key],
+        }
+    param_groups = [{
+        'lr': float(lr),
+        'betas': (0.9, 0.999),
+        'eps': 1e-8,
+        'weight_decay': float(weight_decay),
+        'amsgrad': False,
+        'maximize': False,
+        'foreach': None,
+        'capturable': False,
+        'differentiable': False,
+        'fused': None,
+        'params': list(range(len(flat_p))),
+    }]
+    return {'state': state, 'param_groups': param_groups}
+
+
+def torch_adam_to_optax(params, torch_sd: dict):
+    """Convert a torch.optim.Adam state_dict into our Adam state. `params`
+    provides the tree structure and ordering."""
+    flat_keys = list(flatten_tree(params).keys())
+    state = torch_sd.get('state', {})
+    if not state:
+        raise ValueError('empty torch optimizer state')
+    # torch state keys may be int or str
+    def get_entry(i):
+        if i in state:
+            return state[i]
+        return state[str(i)]
+
+    mu_flat, nu_flat = {}, {}
+    step = 0
+    for i, key in enumerate(flat_keys):
+        entry = get_entry(i)
+        step = int(np.asarray(
+            entry['step'].item() if hasattr(entry['step'], 'item')
+            else entry['step']))
+        mu_flat[key] = _to_numpy(entry['exp_avg'])
+        nu_flat[key] = _to_numpy(entry['exp_avg_sq'])
+    mu_p, _ = torch_state_dict_to_tree(mu_flat)
+    nu_p, _ = torch_state_dict_to_tree(nu_flat)
+    tpl = jax_eval_template(params)
+    mu = conform_to_template(tpl, mu_p)
+    nu = conform_to_template(tpl, nu_p)
+    return {'count': np.int32(step), 'mu': mu, 'nu': nu}
+
+
+def jax_eval_template(params):
+    """ShapeDtypeStruct template of a concrete params tree."""
+    import jax
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), params)
+
+
+def _to_numpy(v):
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
 
 
 # ---------------------------------------------------------------------------
