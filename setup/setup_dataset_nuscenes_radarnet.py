@@ -1,0 +1,173 @@
+"""Stage 1.5 bridge: run a trained RadarNet over the train/val manifests and
+write quasi-dense depth_predicted/ + response_predicted/ PNGs plus the
+manifests consumed by FusionNet training (TPU port of reference
+setup/setup_dataset_nuscenes_radarnet.py).
+
+Output paths mirror the reference's radar_points -> depth_predicted /
+response_predicted string substitution (:227-245) so downstream manifests
+line up with the originals.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rcfd_tpu import radarnet_main
+from rcfd_tpu.data import io as data_utils
+
+
+def derive_output_path(radar_path: str, kind: str) -> str:
+    """radar_points/.../0000.npy -> depth_predicted/.../0000.png"""
+    out = radar_path.replace('radar_points_reprojected', kind)
+    out = out.replace('radar_points', kind)
+    base, _ = os.path.splitext(out)
+    return base + '.png'
+
+
+def process_split(restore_path, image_path, radar_path, ground_truth_path,
+                  output_dirpath, tag, net_kwargs, patch_size,
+                  max_points_inference, min_evaluate_depth,
+                  max_evaluate_depth, paths_only, verbose):
+    import jax.numpy as jnp
+
+    image_paths = data_utils.read_paths(image_path)
+    radar_paths = data_utils.read_paths(radar_path)
+    n_sample = len(image_paths)
+
+    depth_out_paths = [
+        os.path.join(output_dirpath, derive_output_path(
+            os.path.relpath(p, start=os.path.commonpath([output_dirpath, p]))
+            if os.path.isabs(p) else p, 'depth_predicted'))
+        if not os.path.isabs(p) else derive_output_path(p, 'depth_predicted')
+        for p in radar_paths
+    ]
+    response_out_paths = [
+        derive_output_path(p, 'response_predicted') if os.path.isabs(p)
+        else os.path.join(output_dirpath, derive_output_path(
+            p, 'response_predicted'))
+        for p in radar_paths
+    ]
+
+    if not paths_only:
+        from rcfd_tpu.data.datasets import RadarNetInferenceDataset
+        from rcfd_tpu.data.transforms import Transforms
+
+        gt_available = (ground_truth_path is not None and
+                        os.path.exists(ground_truth_path))
+        gt_paths = data_utils.read_paths(ground_truth_path) \
+            if gt_available else None
+
+        dataset = RadarNetInferenceDataset(
+            image_paths=image_paths, radar_paths=radar_paths,
+            ground_truth_paths=gt_paths, max_points=max_points_inference)
+
+        model = radarnet_main._build_model(patch_size=patch_size, **net_kwargs)
+        params, state, step, _ = model.restore_checkpoint(restore_path)
+
+        sample_image = data_utils.load_image(image_paths[0])
+        forward_fn = radarnet_main.make_forward_fn(
+            model, Transforms(normalized_image_range=[0, 1]),
+            sample_image.shape[0], sample_image.shape[1])
+
+        for idx in range(n_sample):
+            data = dataset.get(idx)
+            image, points, valid = data[:3]
+            depth_map, response_map = forward_fn(
+                params, state, jnp.asarray(image)[None],
+                jnp.asarray(points), jnp.asarray(valid))
+            os.makedirs(os.path.dirname(depth_out_paths[idx]), exist_ok=True)
+            os.makedirs(os.path.dirname(response_out_paths[idx]), exist_ok=True)
+            data_utils.save_depth(np.asarray(depth_map), depth_out_paths[idx])
+            data_utils.save_response(np.asarray(response_map),
+                                     response_out_paths[idx])
+            if verbose:
+                print('[{}] {}/{}'.format(tag, idx + 1, n_sample), end='\r')
+
+    return depth_out_paths, response_out_paths
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--restore_path', type=str, required=True)
+    parser.add_argument('--train_image_path', type=str, default=None)
+    parser.add_argument('--train_radar_path', type=str, default=None)
+    parser.add_argument('--train_ground_truth_path', type=str, default=None)
+    parser.add_argument('--val_image_path', type=str, default=None)
+    parser.add_argument('--val_radar_path', type=str, default=None)
+    parser.add_argument('--val_ground_truth_path', type=str, default=None)
+    parser.add_argument('--output_dirpath', type=str, required=True)
+    # Network settings (reference canonical defaults)
+    parser.add_argument('--patch_size', nargs='+', type=int,
+                        default=[900, 288])
+    parser.add_argument('--input_channels_image', type=int, default=3)
+    parser.add_argument('--input_channels_depth', type=int, default=3)
+    parser.add_argument('--encoder_type', nargs='+', type=str,
+                        default=['radarnetv1', 'batch_norm'])
+    parser.add_argument('--n_filters_encoder_image', nargs='+', type=int,
+                        default=[32, 64, 128, 128, 128])
+    parser.add_argument('--n_neurons_encoder_depth', nargs='+', type=int,
+                        default=[32, 64, 128, 128, 128])
+    parser.add_argument('--decoder_type', nargs='+', type=str,
+                        default=['multiscale', 'batch_norm'])
+    parser.add_argument('--n_filters_decoder', nargs='+', type=int,
+                        default=[256, 128, 64, 32, 16])
+    parser.add_argument('--weight_initializer', type=str,
+                        default='kaiming_uniform')
+    parser.add_argument('--activation_func', type=str, default='leaky_relu')
+    parser.add_argument('--min_evaluate_depth', type=float, default=0.0)
+    parser.add_argument('--max_evaluate_depth', type=float, default=100.0)
+    parser.add_argument('--max_points_inference', type=int, default=128)
+    parser.add_argument('--paths_only', action='store_true')
+    parser.add_argument('--verbose', action='store_true')
+    args = parser.parse_args()
+
+    net_kwargs = dict(
+        input_channels_image=args.input_channels_image,
+        input_channels_depth=args.input_channels_depth,
+        encoder_type='-'.join(args.encoder_type),
+        n_filters_encoder_image=args.n_filters_encoder_image,
+        n_neurons_encoder_depth=args.n_neurons_encoder_depth,
+        decoder_type='-'.join(args.decoder_type),
+        n_filters_decoder=args.n_filters_decoder,
+        weight_initializer=args.weight_initializer,
+        activation_func=args.activation_func)
+
+    os.makedirs(args.output_dirpath, exist_ok=True)
+
+    for tag, image_p, radar_p, gt_p in [
+            ('train', args.train_image_path, args.train_radar_path,
+             args.train_ground_truth_path),
+            ('val', args.val_image_path, args.val_radar_path,
+             args.val_ground_truth_path)]:
+        if image_p is None or radar_p is None:
+            continue
+        depth_paths, response_paths = process_split(
+            args.restore_path, image_p, radar_p, gt_p, args.output_dirpath,
+            tag, net_kwargs, args.patch_size, args.max_points_inference,
+            args.min_evaluate_depth, args.max_evaluate_depth,
+            args.paths_only, args.verbose)
+
+        manifest_dir = os.path.join(
+            args.output_dirpath,
+            'training' if tag == 'train' else 'validation', 'nuscenes')
+        os.makedirs(manifest_dir, exist_ok=True)
+        dp = os.path.join(manifest_dir,
+                          'nuscenes_{}_depth_predicted.txt'.format(tag))
+        rp = os.path.join(manifest_dir,
+                          'nuscenes_{}_response_predicted.txt'.format(tag))
+        data_utils.write_paths(dp, depth_paths)
+        data_utils.write_paths(rp, response_paths)
+        if tag == 'val':
+            data_utils.write_paths(dp.replace('.txt', '-subset.txt'),
+                                   depth_paths[::2])
+            data_utils.write_paths(rp.replace('.txt', '-subset.txt'),
+                                   response_paths[::2])
+        print('[{}] wrote {} outputs'.format(tag, len(depth_paths)))
+
+
+if __name__ == '__main__':
+    main()
