@@ -232,3 +232,92 @@ def merge_point_clouds(nusc,
 
     xs, ys, zs = rasterize.depth_map_to_points(main_depth)
     return np.stack([xs, ys], axis=0).astype(np.float32), zs.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dense-GT variant: walk every intermediate lidar SWEEP (not just keyframes)
+# and pair each sweep with its nearest-timestamp camera image
+# (reference setup/setup_dataset_nuscenes_with_denseGT.py:337-350, 1096-1129)
+# ---------------------------------------------------------------------------
+
+def scene_camera_records(nusc, scene, channel: str = 'CAM_FRONT'):
+    """All camera sample_data records of a scene (keyframes + sweeps),
+    sorted by timestamp."""
+    sample = nusc.get('sample', scene['first_sample_token'])
+    sd_token = sample['data'][channel]
+    # rewind to the first sample_data in the chain
+    sd = nusc.get('sample_data', sd_token)
+    while sd['prev'] != '':
+        sd = nusc.get('sample_data', sd['prev'])
+    records = []
+    while True:
+        records.append(sd)
+        if sd['next'] == '':
+            break
+        sd = nusc.get('sample_data', sd['next'])
+    records.sort(key=lambda r: r['timestamp'])
+    return records
+
+
+def closest_camera_token(camera_records, timestamp: int) -> str:
+    """Nearest-timestamp camera sample_data token (the reference's
+    get_closest_camera_image_to_lidar_scan_in_a_sample)."""
+    timestamps = [r['timestamp'] for r in camera_records]
+    idx = int(np.argmin(np.abs(np.asarray(timestamps) - timestamp)))
+    return camera_records[idx]['token']
+
+
+def merge_lidar_sweeps_dense(nusc,
+                             current_sample_token: str,
+                             n_forward: int,
+                             n_backward: int,
+                             camera_records,
+                             panoptic_dirpath: Optional[str] = None):
+    """Dense-GT merge: accumulate up to n_forward/n_backward intermediate
+    lidar SWEEPS (the full 20 Hz sample_data chain), pairing each sweep with
+    its closest camera image and removing movers with panoptic masks.
+
+    Returns (2, N) x,y and (N,) z like merge_point_clouds.
+    """
+    sample = nusc.get('sample', current_sample_token)
+    main_lidar_token = sample['data']['LIDAR_TOP']
+    main_camera_token = sample['data']['CAM_FRONT']
+
+    h, w = get_image_shape(nusc, main_camera_token)
+    main_k = get_camera_intrinsics(nusc, main_camera_token)
+    main_depth = rasterize_sensor_depth(
+        nusc, main_lidar_token, main_camera_token, 'lidar')
+
+    main_mask = None
+    if panoptic_dirpath is not None:
+        main_mask = load_panoptic_mask(panoptic_dirpath, main_camera_token,
+                                       h, w)
+    if main_mask is None:
+        main_mask = boxes_to_mask(
+            mover_boxes_image_frame(nusc, main_camera_token), h, w)
+
+    def process_sweep(sweep_sd):
+        nonlocal main_depth
+        sweep_token = sweep_sd['token']
+        cam_token = closest_camera_token(camera_records, sweep_sd['timestamp'])
+        n_k = get_camera_intrinsics(nusc, cam_token)
+        sweep_depth = rasterize_sensor_depth(nusc, sweep_token, cam_token,
+                                             'lidar')
+        n_mask = None
+        if panoptic_dirpath is not None:
+            n_mask = load_panoptic_mask(panoptic_dirpath, cam_token, h, w)
+        n_to_main = camera_to_camera_matrix(nusc, cam_token, main_camera_token)
+        main_depth = np.asarray(merge_neighbor_into_main(
+            main_depth, sweep_depth, n_k, n_to_main, main_k,
+            neighbor_mover_mask=n_mask, main_mover_mask=main_mask))
+
+    for direction, n_steps in [('next', n_forward), ('prev', n_backward)]:
+        sd = nusc.get('sample_data', main_lidar_token)
+        produced = 0
+        while sd[direction] != '' and produced < n_steps:
+            sd = nusc.get('sample_data', sd[direction])
+            process_sweep(sd)
+            produced += 1
+
+    xs, ys, zs = rasterize.depth_map_to_points(main_depth)
+    return np.stack([xs, ys], axis=0).astype(np.float32), zs.astype(np.float32)
