@@ -1,0 +1,99 @@
+"""Fused two-stage pipeline must match the file-based composition
+(RadarNet run -> PNG round trip -> FusionNet run) bit-for-bit at the
+bridge and within float tolerance at the output."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rcfd_tpu.data import io as data_utils
+from rcfd_tpu.models import FusionNetModel, RadarNetModel
+from rcfd_tpu.pipeline import RESPONSE_DECODE_SCALE, TwoStagePipeline
+
+H, W = 64, 96
+PATCH = (64, 32)
+
+RN_KWARGS = dict(
+    input_channels_image=3,
+    input_channels_depth=3,
+    input_patch_size_image=PATCH,
+    encoder_type='radarnetv1_batch_norm',
+    n_filters_encoder_image=[8, 12, 16, 16, 16],
+    n_neurons_encoder_depth=[8, 12, 16, 16, 16],
+    decoder_type='multiscale_batch_norm',
+    n_filters_decoder=[16, 12, 8, 8, 8])
+
+FN_KWARGS = dict(
+    input_channels_image=3,
+    input_channels_depth=2,
+    encoder_type='fusionnet18_batch_norm',
+    n_filters_encoder_image=[8, 12, 16, 16, 16],
+    n_filters_encoder_depth=[4, 6, 8, 8, 8],
+    fusion_type='weight_and_project',
+    decoder_type='multiscale_batch_norm',
+    n_resolution_decoder=1,
+    n_filters_decoder=[16, 12, 8, 8, 8],
+    min_predict_depth=1.0,
+    max_predict_depth=100.0)
+
+
+def test_fused_pipeline_matches_file_based_composition(tmp_path):
+    rng = np.random.default_rng(0)
+    radarnet = RadarNetModel(**RN_KWARGS)
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    rn_vars = radarnet.init(jax.random.PRNGKey(0))
+    fn_vars = fusionnet.init(jax.random.PRNGKey(1))
+
+    pipeline = TwoStagePipeline(
+        radarnet, fusionnet, rn_vars, fn_vars, H, W,
+        normalized_image_range=(0, 1), quantize_bridge=True)
+
+    image = (rng.random((H, W, 3), dtype=np.float32) * 255)
+    n_points = 6
+    points = np.stack([
+        rng.integers(0, W, n_points).astype(np.float32),
+        rng.integers(0, H, n_points).astype(np.float32),
+        rng.random(n_points, dtype=np.float32) * 70 + 1], axis=1)
+    valid = np.ones(n_points, bool)
+
+    dense, quasi, response = pipeline(
+        jnp.asarray(image)[None], jnp.asarray(points), jnp.asarray(valid))
+
+    # ---- file-based composition -------------------------------------------
+    from rcfd_tpu import radarnet_main
+    from rcfd_tpu.data.transforms import Transforms
+
+    transforms = Transforms(normalized_image_range=[0, 1])
+    forward_rn = radarnet_main.make_forward_fn(radarnet, transforms, H, W)
+    depth_map, response_map = forward_rn(
+        rn_vars[0], rn_vars[1], jnp.asarray(image)[None],
+        jnp.asarray(points), jnp.asarray(valid))
+
+    depth_png = str(tmp_path / 'depth.png')
+    response_png = str(tmp_path / 'response.png')
+    data_utils.save_depth(np.asarray(depth_map), depth_png)
+    data_utils.save_response(np.asarray(response_map), response_png)
+
+    # FusionNet reads BOTH streams back with load_depth (x256) — the
+    # reference quirk (src/datasets.py:412-415)
+    depth_loaded = data_utils.load_depth(depth_png, data_format='HWC')
+    response_loaded = data_utils.load_depth(response_png, data_format='HWC')
+
+    np.testing.assert_allclose(np.asarray(quasi), depth_loaded[..., 0],
+                               atol=1 / 256.0 + 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(response) * RESPONSE_DECODE_SCALE,
+        response_loaded[..., 0], atol=1 / 256.0 + 1e-6)
+
+    input_depth = np.concatenate([depth_loaded, response_loaded], axis=-1)
+    out_file, _ = fusionnet.apply(
+        fn_vars[0], fn_vars[1], jnp.asarray(image)[None] / 255.0,
+        jnp.asarray(input_depth)[None], training=False)
+
+    np.testing.assert_allclose(
+        np.asarray(dense), np.asarray(out_file)[0, :, :, 0],
+        rtol=1e-4, atol=1e-4)
