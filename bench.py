@@ -55,9 +55,11 @@ def bench_ours(batch_candidates=(4, 2, 1), n_iters=10, dtype='bfloat16'):
     import jax.numpy as jnp
     from rcfd_tpu.models import FusionNetModel
     from rcfd_tpu.nn.core import cast_tree
+    from rcfd_tpu.nn.optimize import fold_batch_norm
 
     model = FusionNetModel(**CONFIG)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    params, state = jax.jit(fold_batch_norm)(params, state)
     cdtype = jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32
     params_c = cast_tree(params, cdtype)
     state_c = cast_tree(state, cdtype)

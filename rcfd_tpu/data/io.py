@@ -15,6 +15,18 @@ import numpy as np
 from PIL import Image
 
 
+def _native():
+    """Native C++ codec (libpng/libjpeg, threaded) — the hot-path decoder.
+    Disable with RCFD_NATIVE_IO=0; PIL is the fallback."""
+    if os.environ.get('RCFD_NATIVE_IO', '1') == '0':
+        return None
+    try:
+        from .. import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def read_paths(filepath: str) -> List[str]:
     """Read a newline-delimited path manifest (stops at the first empty
     line, like the reference src/data_utils.py:128-150)."""
@@ -36,8 +48,14 @@ def write_paths(filepath: str, paths: List[str]):
 
 def load_image(path: str, normalize: bool = False, data_format: str = 'HWC'):
     """Load an RGB image as float32 (src/data_utils.py:167-198)."""
-    image = Image.open(path).convert('RGB')
-    image = np.asarray(image, np.float32)
+    nat = _native()
+    if nat is not None:
+        try:
+            image = nat.read_image(path)
+        except Exception:
+            image = np.asarray(Image.open(path).convert('RGB'), np.float32)
+    else:
+        image = np.asarray(Image.open(path).convert('RGB'), np.float32)
     if data_format == 'HWC':
         pass
     elif data_format == 'CHW':
@@ -64,6 +82,12 @@ def _expand(z, data_format):
 
 def load_depth(path: str, multiplier: float = 256.0, data_format: str = 'HW'):
     """Load a depth map from a 16/32-bit PNG (src/data_utils.py:238-269)."""
+    nat = _native()
+    if nat is not None:
+        try:
+            return _expand(nat.read_depth(path, multiplier), data_format)
+        except Exception:
+            pass
     z = np.array(Image.open(path), dtype=np.float32)
     z = z / multiplier
     z[z <= 0] = 0.0

@@ -544,6 +544,9 @@ def run(restore_path,
         weight_initializer, activation_func, min_predict_depth,
         max_predict_depth)
     params, state, step, _ = model.restore_checkpoint(restore_path)
+    # inference-only optimization: fold BN into conv weights
+    from .nn.optimize import fold_batch_norm
+    params, state = fold_batch_norm(params, state)
     forward_fn = make_forward_fn(model, transforms)
 
     log('Evaluation input paths:', log_path)

@@ -249,6 +249,13 @@ def resize_nearest(x, shape: Tuple[int, int]):
     out_h, out_w = int(shape[0]), int(shape[1])
     if out_h == h and out_w == w:
         return x
+    if out_h % h == 0 and out_w % w == 0:
+        # exact integer upsample: broadcast instead of gather (the floor
+        # index map degenerates to pixel duplication)
+        kh, kw = out_h // h, out_w // w
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (n, h, kh, w, kw, c))
+        return x.reshape(n, out_h, out_w, c)
     row_idx = (jnp.arange(out_h) * h) // out_h
     col_idx = (jnp.arange(out_w) * w) // out_w
     return x[:, row_idx][:, :, col_idx]

@@ -90,8 +90,10 @@ class Conv2d(Module):
 
     def __call__(self, params, state, x, training=False):
         y = F.conv2d(x, params['conv']['weight'], stride=self.stride)
+        if 'bias' in params['conv']:  # BN folded into the conv (inference)
+            y = y + params['conv']['bias'].astype(y.dtype)
         new_state = state
-        if self.bn is not None:
+        if self.bn is not None and 'batch_norm' in params:
             y, bn_state = self.bn(params['batch_norm'], state['batch_norm'], y, training=training)
             new_state = {'batch_norm': bn_state}
         if self.activation is not None:
@@ -135,8 +137,10 @@ class TransposeConv2d(Module):
     def __call__(self, params, state, x, training=False):
         y = F.conv_transpose2d(x, params['deconv']['weight'], stride=2,
                                padding=self.kernel_size // 2, output_padding=1)
+        if 'bias' in params['deconv']:
+            y = y + params['deconv']['bias'].astype(y.dtype)
         new_state = state
-        if self.bn is not None:
+        if self.bn is not None and 'batch_norm' in params:
             y, bn_state = self.bn(params['batch_norm'], state['batch_norm'], y, training=training)
             new_state = {'batch_norm': bn_state}
         if self.activation is not None:

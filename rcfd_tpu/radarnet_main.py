@@ -551,6 +551,9 @@ def run(restore_path,
         n_filters_encoder_image, n_neurons_encoder_depth, decoder_type,
         n_filters_decoder, weight_initializer, activation_func)
     params, state, step, _ = model.restore_checkpoint(restore_path)
+    # inference-only optimization: fold BN into conv weights
+    from .nn.optimize import fold_batch_norm
+    params, state = fold_batch_norm(params, state)
 
     sample_image = data_utils.load_image(image_paths[0])
     image_height, image_width = sample_image.shape[0], sample_image.shape[1]
