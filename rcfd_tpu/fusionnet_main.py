@@ -277,6 +277,10 @@ def train(train_image_path,
     opt_state = init_adam(params)
 
     train_step = 0
+    if restore_path == 'latest':
+        from .utils.profiling import find_latest_checkpoint
+        restore_path = find_latest_checkpoint(checkpoint_dirpath)
+        log('Auto-resume from: {}'.format(restore_path), log_path)
     if restore_path is not None and restore_path != '':
         params, state, train_step, opt_sd = model.restore_checkpoint(restore_path)
         if opt_sd:
@@ -374,10 +378,13 @@ def train(train_image_path,
                 loss_val = float(loss_info['loss'])
                 time_elapse = (time.time() - time_start) / 3600
                 time_remain = (n_train_step - train_step) * time_elapse / train_step
+                steps_per_s = train_step / max(time.time() - time_start, 1e-6)
                 log('Step={:6}/{}  Loss={:.5f}  Time Elapsed={:.2f}h  '
-                    'Time Remaining={:.2f}h'.format(
+                    'Time Remaining={:.2f}h  {:.2f} steps/s '
+                    '({:.1f} samples/s)'.format(
                         train_step, n_train_step, loss_val, time_elapse,
-                        time_remain), log_path)
+                        time_remain, steps_per_s, steps_per_s * batch_size),
+                    log_path)
 
                 if train_step >= start_step_validation:
                     best_results = validate(

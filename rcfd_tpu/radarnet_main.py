@@ -270,6 +270,10 @@ def train(train_image_path,
     opt_state = init_adam(params)
 
     train_step = 0
+    if restore_path == 'latest':
+        from .utils.profiling import find_latest_checkpoint
+        restore_path = find_latest_checkpoint(checkpoint_dirpath)
+        log('Auto-resume from: {}'.format(restore_path), log_path)
     if restore_path is not None and restore_path != '':
         params, state, train_step, opt_sd = model.restore_checkpoint(restore_path)
         if opt_sd:
