@@ -191,6 +191,43 @@ def conv_transpose2d(x, w, stride: int = 2, padding: Optional[int] = None,
     )
 
 
+def upsample2x_conv2d(x, w):
+    """Fused 2x nearest-upsample + 3x3 conv (pad 1).
+
+    Exactly equivalent to conv2d(resize_nearest(x, 2x), w) but computed as
+    four 2x2-kernel phase convolutions on the LOW-res input — 2.25x fewer
+    MACs and no (2H, 2W, C_in) intermediate. Derivation: output pixel
+    (2i+dy, 2j+dx) reads upsampled rows {2i+dy-1, .., 2i+dy+1} which map to
+    low-res rows {i-1, i} (dy=0) or {i, i+1} (dy=1) with kernel taps
+    summed accordingly; same for columns.
+    """
+    assert w.shape[0] == 3 and w.shape[1] == 3
+    w = w.astype(x.dtype)
+    # row-combined 2x3 kernels
+    r0 = jnp.stack([w[0], w[1] + w[2]], axis=0)  # dy=0: rows (i-1, i)
+    r1 = jnp.stack([w[0] + w[1], w[2]], axis=0)  # dy=1: rows (i, i+1)
+
+    def col_combine(r, dx):
+        if dx == 0:
+            return jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1)
+        return jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1)
+
+    phases = []
+    for dy, r in ((0, r0), (1, r1)):
+        pad_h = (1, 0) if dy == 0 else (0, 1)
+        for dx in (0, 1):
+            k = col_combine(r, dx)  # (2, 2, Cin, Cout)
+            pad_w = (1, 0) if dx == 0 else (0, 1)
+            phases.append(lax.conv_general_dilated(
+                x, k, (1, 1), padding=(pad_h, pad_w),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC')))
+
+    n, h, wd, c = phases[0].shape
+    stacked = jnp.stack(phases, axis=0).reshape(2, 2, n, h, wd, c)
+    out = jnp.transpose(stacked, (2, 3, 0, 4, 1, 5))  # (N, h, dy, w, dx, C)
+    return out.reshape(n, 2 * h, 2 * wd, c)
+
+
 def max_pool2d(x, kernel_size: int = 3, stride: int = 2, padding: int = 1):
     """Max pool over NHWC with -inf padding (torch.nn.MaxPool2d parity)."""
     return lax.reduce_window(

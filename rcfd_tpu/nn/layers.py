@@ -169,8 +169,24 @@ class UpConv2d(Module):
         return {'conv': p}, {'conv': s}
 
     def __call__(self, params, state, x, shape, training=False):
+        conv_p = params['conv']
+        if (int(shape[0]) == 2 * x.shape[1] and int(shape[1]) == 2 * x.shape[2]
+                and self.conv.kernel_size == 3):
+            # fused upsample+conv (identical result, 2.25x fewer MACs)
+            y = F.upsample2x_conv2d(x, conv_p['conv']['weight'])
+            if 'bias' in conv_p['conv']:
+                y = y + conv_p['conv']['bias'].astype(y.dtype)
+            new_state = state['conv']
+            if self.conv.bn is not None and 'batch_norm' in conv_p:
+                y, bn_state = self.conv.bn(
+                    conv_p['batch_norm'], state['conv']['batch_norm'], y,
+                    training=training)
+                new_state = {'batch_norm': bn_state}
+            if self.conv.activation is not None:
+                y = self.conv.activation(y)
+            return y, {'conv': new_state}
         up = F.resize_nearest(x, shape)
-        y, s = self.conv(params['conv'], state['conv'], up, training=training)
+        y, s = self.conv(conv_p, state['conv'], up, training=training)
         return y, {'conv': s}
 
 
