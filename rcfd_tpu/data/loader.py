@@ -19,6 +19,30 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+def device_prefetch(iterator, sharding=None, buffer_size: int = 2):
+    """Double-buffered host->HBM transfer: device_put the next batch(es)
+    while the current one computes (streaming input pipeline,
+    BASELINE config 5). `sharding` is an optional jax Sharding for the
+    batch (e.g. NamedSharding(mesh, P('data')))."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= buffer_size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class DataLoader:
     def __init__(self,
                  dataset,

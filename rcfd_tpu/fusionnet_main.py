@@ -357,13 +357,10 @@ def train(train_image_path,
                 augmentation_probabilities[augmentation_schedule_pos]
 
         train_loader.set_epoch(epoch)
-        for batch in train_loader:
+        from .data.loader import device_prefetch
+        for batch in device_prefetch(train_loader, batch_sharding):
             train_step += 1
             rng, step_key = jax.random.split(rng)
-
-            batch = tuple(jnp.asarray(b) for b in batch)
-            if batch_sharding is not None:
-                batch = jax.device_put(batch, batch_sharding)
 
             params, state, opt_state, loss_info = step_jit(
                 params, state, opt_state, batch, step_key,
@@ -373,6 +370,9 @@ def train(train_image_path,
                 for name, value in loss_info.items():
                     train_summary_writer.add_scalar(
                         'train-' + name, float(value), global_step=train_step)
+                _log_image_summary(
+                    train_summary_writer, 'train', train_step, forward_fn,
+                    params, state, batch, max_predict_depth)
 
             if (train_step % n_step_per_checkpoint) == 0:
                 loss_val = float(loss_info['loss'])
@@ -415,6 +415,38 @@ def train(train_image_path,
         optimizer_state_dict=_export_opt(params, opt_state, learning_rate,
                                          w_weight_decay))
     return best_results
+
+
+def _log_image_summary(writer, tag, step, forward_fn, params, state, batch,
+                       max_depth, n_display=4):
+    """Colorized image panel + histograms (reference
+    src/fusionnet_model.py:403-587). Best-effort: skipped when tensorboard
+    is unavailable."""
+    if writer is None or getattr(writer, '_writer', None) is None:
+        return
+    try:
+        from .utils.log_utils import colorize
+        image, depth, response, ground_truth, _ = [
+            np.asarray(t[:n_display]) for t in batch]
+        output = np.asarray(forward_fn(
+            params, state, jnp.asarray(image), jnp.asarray(depth),
+            jnp.asarray(response)))
+        rows = [
+            np.clip(image / 255.0, 0, 1),
+            colorize(depth / max_depth, 'viridis'),
+            colorize(output / max_depth, 'viridis'),
+            colorize(ground_truth / max_depth, 'viridis'),
+        ]
+        panel = np.concatenate(
+            [np.concatenate(list(r), axis=1) for r in rows], axis=0)
+        writer.add_image(tag + '-image-depth-output-gt', panel,
+                         global_step=step)
+        writer.add_histogram(tag + '-output_depth_distro', output,
+                             global_step=step)
+        writer.add_histogram(tag + '-ground_truth_distro', ground_truth,
+                             global_step=step)
+    except Exception:
+        pass
 
 
 def _export_opt(params, opt_state, lr, weight_decay):

@@ -91,6 +91,13 @@ def _make_train_step(model: RadarNetModel,
             loss, loss_info = model.compute_loss(
                 logits=logits, ground_truth=label, validity_map=validity_map,
                 w_positive_class=w_positive_class)
+            # summary scalars (reference src/radarnet_main.py:451-457)
+            response = jax.nn.sigmoid(logits)
+            pred_label = jnp.where(response > 0.5, 1.0, 0.0)
+            loss_info['average_ground_truth_label_per_point'] = \
+                jnp.mean(jnp.sum(label, axis=(1, 2, 3)))
+            loss_info['average_predicted_label_per_point'] = \
+                jnp.mean(jnp.sum(pred_label, axis=(1, 2, 3)))
             return loss, (new_state, loss_info)
 
         grads, (new_state, loss_info) = jax.grad(loss_fn, has_aux=True)(params)
@@ -356,12 +363,10 @@ def train(train_image_path,
                 augmentation_probabilities[augmentation_schedule_pos]
 
         train_loader.set_epoch(epoch)
-        for batch in train_loader:
+        from .data.loader import device_prefetch
+        for batch in device_prefetch(train_loader, batch_sharding):
             train_step += 1
             rng, step_key = jax.random.split(rng)
-            batch = tuple(jnp.asarray(b) for b in batch)
-            if batch_sharding is not None:
-                batch = jax.device_put(batch, batch_sharding)
 
             params, state, opt_state, loss_info = step_jit(
                 params, state, opt_state, batch, step_key,

@@ -104,6 +104,43 @@ def test_optimizer_state_round_trip(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_dataparallel_prefixed_checkpoint_loads(tmp_path, rng):
+    """The reference wraps encoder/decoder in torch.nn.DataParallel BEFORE
+    saving (src/fusionnet_model.py:395-401), so released state_dicts carry
+    'module.' prefixes; the converter must strip them."""
+    import torch
+    fusionnet_model = import_reference('fusionnet_model')
+
+    ref = fusionnet_model.FusionNetModel(
+        **{k: v for k, v in CONFIG.items()},
+        deconv_type='up', activation_func='leaky_relu',
+        weight_initializer='kaiming_uniform', device=torch.device('cpu'))
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    ref.data_parallel()  # wraps in DataParallel -> 'module.' keys
+    path = str(tmp_path / 'dp.pth')
+    ref.save_model(path, step=5, optimizer=opt)
+
+    sd = torch.load(path, map_location='cpu', weights_only=False)
+    assert any(k.startswith('module.')
+               for k in sd['encoder_state_dict'].keys())
+
+    model = FusionNetModel(**CONFIG)
+    params, state, step, _ = model.restore_checkpoint(path)
+    assert step == 5
+
+    image = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    depth = rng.standard_normal((1, 32, 32, 2)).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        ref_out = ref.forward(
+            image=torch.from_numpy(image.transpose(0, 3, 1, 2)),
+            input_depth=torch.from_numpy(depth.transpose(0, 3, 1, 2))).numpy()
+    ours, _ = model.apply(params, state, jnp.asarray(image),
+                          jnp.asarray(depth), training=False)
+    np.testing.assert_allclose(np.asarray(ours)[..., 0], ref_out[:, 0],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_native_npz_round_trip(tmp_path):
     model = FusionNetModel(**CONFIG)
     params, state = model.init(jax.random.PRNGKey(2))
