@@ -17,23 +17,49 @@ scatters + one gather:
   3. gather z by winning index; zero where the max response is 0
 
 Supports padded/ragged point sets via a validity mask (masked points never
-win). Note: the reference's index→depth rewrite loop
-(src/radarnet_main.py:579-583) can corrupt outputs when a point's z value
-numerically equals a later point index; we implement the intended
-semantics (gather by argmax) instead — documented divergence.
+win).
+
+LEGACY DEPTH SEMANTICS (default ON for parity): the reference's rewrite
+loop (src/radarnet_main.py:576-583) operates on torch.max's int64 argmax
+map, which has two consequences baked into every released artifact:
+  1. each point's metric z is TRUNCATED to an integer when written
+     (torch.full_like(int64_map, fill_value=z)), so quasi-dense depth maps
+     are integer meters;
+  2. the sequential `where(map == point_idx, z_p)` rewrites CASCADE: a
+     pixel rewritten to an integer z that equals a later point's index is
+     rewritten again by that later point.
+The stage-2 FusionNet was trained on maps with exactly these semantics, so
+`legacy_depth_semantics=True` reproduces them bit-for-bit (as a
+lax.fori_loop over the point axis). Set False for the clean float gather
+(documented fix; better depth precision).
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+
+
+def _legacy_rewrite(idx_map, response_map, z_values, n_points: int):
+    """Bit-exact emulation of the reference's index->z rewrite loop."""
+    z_int = z_values.astype(jnp.int32)  # trunc toward zero (z > 0)
+    # empty pixels have argmax 0 in the reference (max of all-zero tiles)
+    m = jnp.where(response_map > 0, idx_map, 0).astype(jnp.int32)
+
+    def body(p, m):
+        return jnp.where(m == p, z_int[p], m)
+
+    m = jax.lax.fori_loop(0, n_points, body, m)
+    return jnp.where(response_map > 0, m.astype(response_map.dtype), 0.0)
 
 
 def scatter_quasi_dense(response_crops, x_positions, z_values, valid,
                         image_height: int, image_width: int,
                         patch_size: Tuple[int, int],
-                        threshold: float = 0.5):
+                        threshold: float = 0.5,
+                        legacy_depth_semantics: bool = True):
     """Scatter per-point response crops into quasi-dense depth/response maps.
 
     Arg(s):
@@ -77,7 +103,10 @@ def scatter_quasi_dense(response_crops, x_positions, z_values, valid,
     idx_map = jnp.full((h, w), k, dtype=jnp.int32)
     idx_map = idx_map.at[crop_top:, cols_c].min(candidate)
 
-    z_ext = jnp.concatenate([z_values.astype(response_crops.dtype),
-                             jnp.zeros((1,), response_crops.dtype)])
-    depth_map = jnp.where(response_map > 0, z_ext[idx_map], 0.0)
+    if legacy_depth_semantics:
+        depth_map = _legacy_rewrite(idx_map, response_map, z_values, k)
+    else:
+        z_ext = jnp.concatenate([z_values.astype(response_crops.dtype),
+                                 jnp.zeros((1,), response_crops.dtype)])
+        depth_map = jnp.where(response_map > 0, z_ext[idx_map], 0.0)
     return depth_map, response_map

@@ -39,6 +39,9 @@ MAX_POINTS = (1 << IDX_BITS) - 1  # 255
 
 def _kernel(x_ref, valid_ref, crop_ref, out_ref, *, threshold: float,
             pw: int):
+    """Accumulate one point. Layout is TRANSPOSED — crops (1, pw, ph), out
+    (w_padded, ph) — so the dynamic store offset is on the SUBLANE dim
+    (Mosaic cannot vector-load/store at unaligned dynamic LANE offsets)."""
     import jax.experimental.pallas as pl
 
     k = pl.program_id(0)
@@ -47,7 +50,7 @@ def _kernel(x_ref, valid_ref, crop_ref, out_ref, *, threshold: float,
     def _init():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    crop = crop_ref[0]  # (ph, pw) float32
+    crop = crop_ref[0]  # (pw, ph) float32
     vals = jnp.where(crop < threshold, 0.0, crop)
     q = jnp.minimum(vals * Q_SCALE, Q_SCALE).astype(jnp.int32)
     packed = (q << IDX_BITS) | (MAX_POINTS - k)
@@ -56,14 +59,15 @@ def _kernel(x_ref, valid_ref, crop_ref, out_ref, *, threshold: float,
     packed = jnp.where(is_valid, packed, 0)
 
     x = x_ref[k]
-    current = out_ref[:, pl.ds(x, pw)]
-    out_ref[:, pl.ds(x, pw)] = jnp.maximum(current, packed)
+    current = out_ref[pl.ds(x, pw), :]
+    out_ref[pl.ds(x, pw), :] = jnp.maximum(current, packed)
 
 
 def scatter_quasi_dense_pallas(response_crops, x_positions, z_values, valid,
                                image_height: int, image_width: int,
                                patch_size: Tuple[int, int],
                                threshold: float = 0.5,
+                               legacy_depth_semantics: bool = True,
                                interpret: bool = False):
     """Drop-in Pallas variant of ops.scatter.scatter_quasi_dense.
 
@@ -85,18 +89,23 @@ def scatter_quasi_dense_pallas(response_crops, x_positions, z_values, valid,
     x_start = jnp.clip(x_start, 0, w_padded - pw)
     valid_i32 = valid.astype(jnp.int32)
 
-    packed = _call(response_crops, x_start, valid_i32, ph, pw, w_padded,
+    crops_t = jnp.transpose(response_crops, (0, 2, 1))  # (K, pw, ph)
+    packed = _call(crops_t, x_start, valid_i32, ph, pw, w_padded,
                    threshold, interpret)
 
-    # strip the apron; rows above crop_top are empty
-    packed = packed[:, pw:pw + w]
+    # back to (ph, w): strip the apron and transpose
+    packed = jnp.transpose(packed[pw:pw + w, :], (1, 0))
     response_q = (packed >> IDX_BITS).astype(jnp.float32) / Q_SCALE
     winner = MAX_POINTS - (packed & MAX_POINTS)
 
-    z_ext = jnp.concatenate([
-        z_values.astype(jnp.float32),
-        jnp.zeros((MAX_POINTS + 1 - k,), jnp.float32)])
-    depth_rows = jnp.where(response_q > 0, z_ext[winner], 0.0)
+    if legacy_depth_semantics:
+        from .scatter import _legacy_rewrite
+        depth_rows = _legacy_rewrite(winner, response_q, z_values, k)
+    else:
+        z_ext = jnp.concatenate([
+            z_values.astype(jnp.float32),
+            jnp.zeros((MAX_POINTS + 1 - k,), jnp.float32)])
+        depth_rows = jnp.where(response_q > 0, z_ext[winner], 0.0)
 
     response_map = jnp.zeros((h, w), jnp.float32).at[crop_top:].set(response_q)
     depth_map = jnp.zeros((h, w), jnp.float32).at[crop_top:].set(depth_rows)
@@ -115,16 +124,16 @@ def _call(response_crops, x_start, valid_i32, ph, pw, w_padded, threshold,
             num_scalar_prefetch=2,
             grid=(k,),
             in_specs=[
-                pl.BlockSpec((1, ph, pw), lambda i, x, v: (i, 0, 0),
+                pl.BlockSpec((1, pw, ph), lambda i, x, v: (i, 0, 0),
                              memory_space=vmem),
             ],
-            out_specs=pl.BlockSpec((ph, w_padded), lambda i, x, v: (0, 0),
+            out_specs=pl.BlockSpec((w_padded, ph), lambda i, x, v: (0, 0),
                                    memory_space=vmem),
         )
         return pl.pallas_call(
             functools.partial(_kernel, threshold=threshold, pw=pw),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ph, w_padded), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((w_padded, ph), jnp.int32),
             interpret=interpret,
         )(x_start, valid_i32, response_crops)
     except ImportError:
@@ -134,13 +143,13 @@ def _call(response_crops, x_start, valid_i32, ph, pw, w_padded, threshold,
             in_specs=[
                 pl.BlockSpec((k,), lambda i: (0,)),
                 pl.BlockSpec((k,), lambda i: (0,)),
-                pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, pw, ph), lambda i: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((ph, w_padded), lambda i: (0, 0)),
+            out_specs=pl.BlockSpec((w_padded, ph), lambda i: (0, 0)),
         )
         return pl.pallas_call(
             functools.partial(_kernel, threshold=threshold, pw=pw),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ph, w_padded), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((w_padded, ph), jnp.int32),
             interpret=interpret,
         )(x_start, valid_i32, response_crops)

@@ -83,6 +83,20 @@ def install_torchvision_stub():
     utils.make_grid = lambda x, nrow=8: x
     transforms = types.ModuleType('torchvision.transforms')
     functional = types.ModuleType('torchvision.transforms.functional')
+
+    def tv_pad(img, padding, fill=0, padding_mode='constant'):
+        """torchvision F.pad semantics: padding (left, top, right, bottom);
+        'edge' mode = replicate."""
+        import torch
+        left, top, right, bottom = padding
+        mode = {'edge': 'replicate', 'constant': 'constant',
+                'reflect': 'reflect'}[padding_mode]
+        out = torch.nn.functional.pad(
+            img, (left, right, top, bottom), mode=mode,
+            **({'value': fill} if mode == 'constant' else {}))
+        return out
+
+    functional.pad = tv_pad
     transforms.functional = functional
     tv.ops = ops
     tv.utils = utils

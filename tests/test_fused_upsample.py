@@ -19,7 +19,8 @@ def test_upsample2x_conv2d_equivalence(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_upconv2d_fused_path_matches_generic(rng):
+def test_upconv2d_fused_path_matches_generic(rng, monkeypatch):
+    monkeypatch.setenv("RCFD_FUSED_UPSAMPLE", "1")
     layer = UpConv2d(4, 6, kernel_size=3, activation_func='leaky_relu',
                      use_batch_norm=True)
     params, state = layer.init(jax.random.PRNGKey(0))

@@ -64,9 +64,12 @@ def test_roi_pool_general_vs_torch_semantics(rng):
     np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), rtol=1e-6, atol=1e-6)
 
 
-def _reference_scatter(crops, x_positions, z, h, w, threshold=0.5):
+def _reference_scatter(crops, x_positions, z, h, w, threshold=0.5,
+                       legacy=True):
     """Literal numpy port of the reference scatter loop
-    (src/radarnet_main.py:534-591) without the index/z collision quirk."""
+    (src/radarnet_main.py:534-591). legacy=True reproduces the int64
+    argmax-map quirks (integer-truncated depths + cascading index/z
+    rewrites); legacy=False is the clean gather."""
     k, ph, pw = crops.shape
     pad = pw // 2
     tiles = np.zeros((k, h, w + 2 * pad), np.float32)
@@ -77,23 +80,32 @@ def _reference_scatter(crops, x_positions, z, h, w, threshold=0.5):
     tiles = tiles[:, :, pad:-pad]
     response = tiles.max(axis=0)
     argmax = tiles.argmax(axis=0)
-    depth = z[argmax]
+    if legacy:
+        m = argmax.astype(np.int64)
+        for p in range(k):
+            m = np.where(m == p, int(z[p]), m)  # int64 fill truncates
+        depth = m.astype(np.float32)
+    else:
+        depth = z[argmax].copy()
     depth[response == 0] = 0.0
     return depth, response
 
 
-def test_scatter_quasi_dense_matches_reference_loop(rng):
+@pytest.mark.parametrize('legacy', [True, False])
+def test_scatter_quasi_dense_matches_reference_loop(rng, legacy):
     h, w, ph, pw, k = 40, 64, 24, 16, 6
     pad = pw // 2
     crops = rng.random((k, ph, pw), dtype=np.float32)
     x = rng.integers(pad, w + pad, size=(k,)).astype(np.float32)
-    z = (rng.random(k, dtype=np.float32) * 70 + 1)
+    # include z values that collide with point indices to exercise the
+    # legacy rewrite cascade
+    z = np.array([3.0, 17.4, 1.9, 44.0, 2.5, 60.1], np.float32)
 
-    ref_d, ref_r = _reference_scatter(crops, x, z, h, w)
+    ref_d, ref_r = _reference_scatter(crops, x, z, h, w, legacy=legacy)
     d, r = scatter_quasi_dense(
         jnp.asarray(crops), jnp.asarray(x), jnp.asarray(z),
         jnp.ones((k,), bool), image_height=h, image_width=w,
-        patch_size=(ph, pw))
+        patch_size=(ph, pw), legacy_depth_semantics=legacy)
     np.testing.assert_allclose(np.asarray(r), ref_r, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-6, atol=1e-6)
 

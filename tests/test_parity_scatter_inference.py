@@ -1,0 +1,94 @@
+"""Full stage-1 parity gate (BASELINE config 2): our jitted scatter
+inference vs the reference's forward() composite
+(src/radarnet_main.py:534-591) with identical weights, end to end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rcfd_tpu import radarnet_main
+from rcfd_tpu.data.transforms import Transforms
+from rcfd_tpu.models import RadarNetModel
+
+from reference_import import import_reference
+
+PATCH = (64, 64)
+H, W = 64, 96
+
+
+def test_scatter_inference_full_chain_parity(tmp_path, rng):
+    import torch
+    radarnet_model = import_reference('radarnet_model')
+    ref_main = import_reference('radarnet_main')
+
+    torch.manual_seed(0)
+    cfg = dict(
+        input_channels_image=3,
+        input_channels_depth=3,
+        encoder_type='radarnetv1_batch_norm',
+        decoder_type='multiscale_batch_norm',
+        weight_initializer='kaiming_uniform',
+        activation_func='leaky_relu')
+    ref = radarnet_model.RadarNetModel(
+        input_patch_size_image=PATCH,
+        n_filters_encoder_image=[8, 12, 16, 16, 16],
+        n_neurons_encoder_depth=[8, 12, 16, 16, 16],
+        n_filters_decoder=[16, 12, 8, 8, 8],
+        device=torch.device('cpu'), **cfg)
+    ours = RadarNetModel(
+        input_patch_size_image=PATCH,
+        n_filters_encoder_image=[8, 12, 16, 16, 16],
+        n_neurons_encoder_depth=[8, 12, 16, 16, 16],
+        n_filters_decoder=[16, 12, 8, 8, 8], **cfg)
+
+    # Untrained logits hover at ~0 (responses ~0.5), making thresholding and
+    # winner selection degenerate ties; scale the output conv so responses
+    # are well separated and the comparison is well-conditioned.
+    with torch.no_grad():
+        ref.decoder.output0.conv.weight.mul_(50.0)
+
+    path = str(tmp_path / 'rn.pth')
+    ref.save_model(path, step=1,
+                   optimizer=torch.optim.Adam(ref.parameters(), lr=1e-4))
+    params, state, _, _ = ours.restore_checkpoint(path)
+
+    pad = PATCH[1] // 2
+    n_points = 5
+    image = (rng.random((H, W, 3), dtype=np.float32) * 255)
+    points = np.stack([
+        rng.integers(0, W, n_points).astype(np.float32),
+        rng.integers(0, H, n_points).astype(np.float32),
+        rng.random(n_points, dtype=np.float32) * 70 + 1], axis=1)
+
+    # ---- reference chain (mirrors validate(), :630-664) --------------------
+    ref.eval()
+    with torch.no_grad():
+        t_image = torch.from_numpy(
+            (image / 255.0).transpose(2, 0, 1)[None].astype(np.float32))
+        t_points = torch.from_numpy(points.copy())
+        t_points[:, 0] += pad
+        boxes = [torch.stack([
+            torch.stack([x - pad, torch.tensor(0.0), x + pad,
+                         torch.tensor(float(H))])
+            for x in t_points[:, 0]], dim=0)]
+        ref_depth, ref_response = ref_main.forward(
+            model=ref, image=t_image, radar_points=t_points,
+            bounding_boxes_list=boxes, device=torch.device('cpu'))
+    ref_depth = ref_depth.numpy()[0]
+    ref_response = ref_response.numpy()[0]
+
+    # ---- ours ---------------------------------------------------------------
+    forward_fn = radarnet_main.make_forward_fn(
+        ours, Transforms(normalized_image_range=[0, 1]), H, W)
+    depth, response = forward_fn(
+        params, state, jnp.asarray(image)[None], jnp.asarray(points),
+        jnp.ones((n_points,), bool))
+    depth = np.asarray(depth)
+    response = np.asarray(response)
+
+    np.testing.assert_allclose(response, ref_response, rtol=1e-3, atol=1e-3)
+    # winners can differ only where responses are near-exact ties
+    mismatched = (depth != ref_depth).mean()
+    assert mismatched < 0.01, f'depth winner mismatch rate {mismatched}'

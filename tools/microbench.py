@@ -1,0 +1,119 @@
+"""Microbenchmarks for the custom TPU ops: quasi-dense scatter (XLA vs
+Pallas), column ROI pooling, the reprojection merge kernel, and RadarNet
+end-to-end scatter inference.
+
+Run on the real chip: python tools/microbench.py
+Results land in docs/PERF.md territory (run and record per round).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, *args, n=10, warmup=1):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    # force a real fence through a tiny fetch (axon relay)
+    _fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    _fetch(out)
+    return (time.perf_counter() - t0) / n
+
+
+def _fetch(out):
+    import jax.numpy as jnp
+    leaf = out[0] if isinstance(out, (tuple, list)) else out
+    float(jnp.sum(leaf.ravel()[:16]))
+
+
+def bench_scatter(k=128, h=900, w=1600, ph=900, pw=288):
+    import jax
+    import jax.numpy as jnp
+    from rcfd_tpu.ops.scatter import scatter_quasi_dense
+    from rcfd_tpu.ops.scatter_pallas import scatter_quasi_dense_pallas
+
+    rng = np.random.default_rng(0)
+    pad = pw // 2
+    crops = jnp.asarray(rng.random((k, ph, pw), dtype=np.float32))
+    x = jnp.asarray(rng.integers(pad, w + pad, size=(k,)).astype(np.float32))
+    z = jnp.asarray(rng.random(k, dtype=np.float32) * 70 + 1)
+    valid = jnp.ones((k,), bool)
+
+    xla = jax.jit(lambda c, xx, zz, v: scatter_quasi_dense(
+        c, xx, zz, v, h, w, (ph, pw)))
+    pallas = jax.jit(lambda c, xx, zz, v: scatter_quasi_dense_pallas(
+        c, xx, zz, v, h, w, (ph, pw)))
+
+    t_xla = timed(xla, crops, x, z, valid)
+    print(f'scatter K={k}: xla {t_xla * 1000:.2f} ms')
+    try:
+        t_pal = timed(pallas, crops, x, z, valid)
+        print(f'scatter K={k}: pallas {t_pal * 1000:.2f} ms '
+              f'({t_xla / t_pal:.2f}x)')
+    except Exception as e:
+        print(f'scatter pallas failed: {type(e).__name__}: {e}')
+
+
+def bench_roi_pool(b=1, k=128, patch_h=900, patch_w=288, img_w=1888):
+    import jax
+    import jax.numpy as jnp
+    from rcfd_tpu.ops.roi_pool import roi_pool_column
+
+    rng = np.random.default_rng(0)
+    # the 1/2-scale skip is the most expensive pooled level
+    feat = jnp.asarray(
+        rng.random((b, patch_h // 2, img_w // 2, 32), dtype=np.float32))
+    x1 = jnp.asarray(rng.integers(0, img_w - patch_w, size=(b, k))
+                     .astype(np.float32))
+    fn = jax.jit(lambda f, x: roi_pool_column(
+        f, x, box_width=patch_w, box_y1=0, box_y2=patch_h, spatial_scale=0.5,
+        output_size=(patch_h // 2, patch_w // 2)))
+    t = timed(fn, feat, x1, n=5)
+    print(f'roi_pool_column 1/2-scale K={k}: {t * 1000:.2f} ms')
+
+
+def bench_reproject(h=900, w=1600):
+    import jax
+    import jax.numpy as jnp
+    from rcfd_tpu.geometry.reproject import merge_neighbor_into_main
+
+    rng = np.random.default_rng(0)
+    main = jnp.asarray(rng.random((h, w), dtype=np.float32) * 60)
+    neighbor = jnp.asarray(rng.random((h, w), dtype=np.float32) * 60)
+    k = jnp.asarray(np.array(
+        [[1266.4, 0, 816.3], [0, 1266.4, 491.5], [0, 0, 1]], np.float32))
+    m = jnp.asarray(np.eye(4, dtype=np.float32))
+    fn = jax.jit(lambda a, b: merge_neighbor_into_main(a, b, k, m, k))
+    t = timed(fn, main, neighbor, n=5)
+    px_per_s = h * w / t
+    print(f'reproject+merge 900x1600: {t * 1000:.2f} ms '
+          f'({px_per_s / 1e9:.2f} Gpix/s) — one neighbor frame of the '
+          f'multi-frame GT merge')
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--ops', nargs='+',
+                        default=['scatter', 'roi_pool', 'reproject'])
+    parser.add_argument('--k', type=int, default=128)
+    args = parser.parse_args()
+    if 'scatter' in args.ops:
+        bench_scatter(k=args.k)
+    if 'roi_pool' in args.ops:
+        bench_roi_pool(k=args.k)
+    if 'reproject' in args.ops:
+        bench_reproject()
+
+
+if __name__ == '__main__':
+    main()
