@@ -41,14 +41,30 @@ class TwoStagePipeline:
                  image_height: int,
                  image_width: int,
                  normalized_image_range=(0, 1),
-                 quantize_bridge: bool = True):
+                 quantize_bridge: bool = True,
+                 optimize: bool = False,
+                 compute_dtype=None):
         """quantize_bridge: round the quasi-dense maps through the 16-bit
         PNG codec quantization (x256 / x2^14) to bit-match the file-based
-        two-stage path."""
+        two-stage path. optimize: fold BN into conv weights (inference
+        only). compute_dtype: e.g. jnp.bfloat16 for MXU serving."""
         self.radarnet = radarnet
         self.fusionnet = fusionnet
         self.radarnet_params, self.radarnet_state = radarnet_variables
         self.fusionnet_params, self.fusionnet_state = fusionnet_variables
+        if optimize:
+            from .nn.optimize import fold_batch_norm
+            self.radarnet_params, self.radarnet_state = fold_batch_norm(
+                self.radarnet_params, self.radarnet_state)
+            self.fusionnet_params, self.fusionnet_state = fold_batch_norm(
+                self.fusionnet_params, self.fusionnet_state)
+        if compute_dtype is not None:
+            from .nn.core import cast_tree
+            self.radarnet_params = cast_tree(self.radarnet_params, compute_dtype)
+            self.radarnet_state = cast_tree(self.radarnet_state, compute_dtype)
+            self.fusionnet_params = cast_tree(self.fusionnet_params, compute_dtype)
+            self.fusionnet_state = cast_tree(self.fusionnet_state, compute_dtype)
+        self.compute_dtype = compute_dtype
         self.image_height = image_height
         self.image_width = image_width
         self.transforms = Transforms(
@@ -62,12 +78,17 @@ class TwoStagePipeline:
         h, w = self.image_height, self.image_width
         quantize = self.quantize_bridge
 
+        compute_dtype = self.compute_dtype
+
         def forward(rn_params, rn_state, fn_params, fn_state, image, points,
                     valid):
             # image: (1, H, W, 3) in [0, 255]; points: (K, 3); valid: (K,)
             (image_t,) = self.transforms.transform(
                 jax.random.PRNGKey(0), [image],
                 random_transform_probability=0.0)
+            if compute_dtype is not None:
+                image_t = image_t.astype(compute_dtype)
+                points = points.astype(compute_dtype)
 
             # ---- stage 1: RadarNet ------------------------------------
             image_pad = jnp.pad(image_t, ((0, 0), (0, 0), (pad, pad), (0, 0)),
@@ -79,7 +100,9 @@ class TwoStagePipeline:
                 rn_params, rn_state, image_pad, points_shifted, x1,
                 box_height=h, training=False, return_logits=False)
             depth_map, response_map = scatter_quasi_dense(
-                responses[..., 0], x_shifted, points[:, 2], valid,
+                responses[..., 0].astype(jnp.float32),
+                x_shifted.astype(jnp.float32),
+                points[:, 2].astype(jnp.float32), valid,
                 image_height=h, image_width=w, patch_size=patch_size)
 
             # ---- bridge (PNG codec emulation) --------------------------
@@ -90,9 +113,12 @@ class TwoStagePipeline:
 
             # ---- stage 2: FusionNet -----------------------------------
             input_depth = jnp.stack([depth_map, response_in], axis=-1)[None]
+            if compute_dtype is not None:
+                input_depth = input_depth.astype(compute_dtype)
             output_depth, _ = self.fusionnet.apply(
                 fn_params, fn_state, image_t, input_depth, training=False)
-            return output_depth[0, :, :, 0], depth_map, response_map
+            return (output_depth[0, :, :, 0].astype(jnp.float32),
+                    depth_map, response_map)
 
         return forward
 
