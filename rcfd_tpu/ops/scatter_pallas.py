@@ -41,8 +41,12 @@ def _kernel(x_ref, valid_ref, crop_ref, out_ref, *, threshold: float,
             pw: int):
     """Accumulate one point. Layout is TRANSPOSED — crops (1, pw, ph), out
     (w_padded, ph) — so the dynamic store offset is on the SUBLANE dim
-    (Mosaic cannot vector-load/store at unaligned dynamic LANE offsets)."""
+    (Mosaic rejects unaligned dynamic LANE offsets). Mosaic further needs
+    the sublane offset provably 8-aligned: store at x & ~7 with the crop
+    rolled down by x & 7 inside an (pw + 8)-row window."""
+    import jax
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     k = pl.program_id(0)
 
@@ -59,8 +63,18 @@ def _kernel(x_ref, valid_ref, crop_ref, out_ref, *, threshold: float,
     packed = jnp.where(is_valid, packed, 0)
 
     x = x_ref[k]
-    current = out_ref[pl.ds(x, pw), :]
-    out_ref[pl.ds(x, pw), :] = jnp.maximum(current, packed)
+    x_aligned = pl.multiple_of((x // 8) * 8, 8)
+    r = x - x_aligned  # in [0, 8)
+
+    base = jnp.concatenate(
+        [packed, jnp.zeros((8, packed.shape[1]), jnp.int32)], axis=0)
+    shifted = jax.lax.switch(
+        r, [functools.partial(jnp.roll, shift=s, axis=0)
+            for s in range(8)], base)
+
+    window = pw + 8
+    current = out_ref[pl.ds(x_aligned, window), :]
+    out_ref[pl.ds(x_aligned, window), :] = jnp.maximum(current, shifted)
 
 
 def scatter_quasi_dense_pallas(response_crops, x_positions, z_values, valid,
@@ -81,12 +95,13 @@ def scatter_quasi_dense_pallas(response_crops, x_positions, z_values, valid,
     pad = pw // 2
     h, w = image_height, image_width
     crop_top = h - ph
-    w_padded = w + 2 * pw  # apron so dynamic stores stay in bounds
+    # apron so the (8-aligned, pw+8-wide) dynamic stores stay in bounds
+    w_padded = w + 2 * pw + 8
 
     # crop pixel (k, :, j) lands at unpadded column x_k - 2*pad + j;
     # shift by +pw for the left apron
     x_start = (x_positions.astype(jnp.int32) - 2 * pad + pw)
-    x_start = jnp.clip(x_start, 0, w_padded - pw)
+    x_start = jnp.clip(x_start, 0, w_padded - pw - 8)
     valid_i32 = valid.astype(jnp.int32)
 
     crops_t = jnp.transpose(response_crops, (0, 2, 1))  # (K, pw, ph)

@@ -121,9 +121,15 @@ def _make_train_step(model: RadarNetModel,
 def make_forward_fn(model: RadarNetModel, transforms: Transforms,
                     image_height: int, image_width: int):
     """Jitted scatter inference over one frame with a padded point set
-    (reference forward(), src/radarnet_main.py:534-591)."""
+    (reference forward(), src/radarnet_main.py:534-591).
+
+    RCFD_PALLAS_SCATTER=1 routes the scatter composite through the Pallas
+    VMEM-accumulation kernel (ops/scatter_pallas.py) instead of XLA
+    scatters; identical winners, response quantized at the PNG codec's
+    14-bit precision."""
     patch_size = model.input_patch_size_image
     pad = patch_size[1] // 2
+    use_pallas = os.environ.get('RCFD_PALLAS_SCATTER', '0') == '1'
 
     @jax.jit
     def forward(params, state, image, points, valid):
@@ -141,10 +147,17 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
             box_height=image_height, training=False, return_logits=False)
         crops = responses[..., 0]  # (K, ph, pw)
 
-        depth_map, response_map = scatter_quasi_dense(
-            crops, x_shifted, points[:, 2], valid,
-            image_height=image_height, image_width=image_width,
-            patch_size=patch_size)
+        if use_pallas:
+            from .ops.scatter_pallas import scatter_quasi_dense_pallas
+            depth_map, response_map = scatter_quasi_dense_pallas(
+                crops, x_shifted, points[:, 2], valid,
+                image_height=image_height, image_width=image_width,
+                patch_size=patch_size)
+        else:
+            depth_map, response_map = scatter_quasi_dense(
+                crops, x_shifted, points[:, 2], valid,
+                image_height=image_height, image_width=image_width,
+                patch_size=patch_size)
         return depth_map, response_map
 
     return forward
