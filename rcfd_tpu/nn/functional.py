@@ -263,19 +263,24 @@ def min_pool2d(x, kernel_size: int, stride: int = 1, padding: int = 0,
 
 
 def batch_norm_apply(x, weight, bias, mean, var, eps: float = 1e-5):
-    """Normalize NHWC x with per-channel stats."""
+    """Normalize NHWC x with per-channel stats. Stat math runs in at least
+    float32 (promoted further if the params are wider, e.g. f64 tests)."""
     dtype = x.dtype
-    inv = lax.rsqrt(var.astype(jnp.float32) + eps)
-    scale = (weight.astype(jnp.float32) * inv).astype(dtype)
-    shift = (bias.astype(jnp.float32) - mean.astype(jnp.float32) * weight.astype(jnp.float32) * inv).astype(dtype)
+    stat_dtype = jnp.promote_types(jnp.float32, weight.dtype)
+    inv = lax.rsqrt(var.astype(stat_dtype) + eps)
+    scale = (weight.astype(stat_dtype) * inv).astype(dtype)
+    shift = (bias.astype(stat_dtype) -
+             mean.astype(stat_dtype) * weight.astype(stat_dtype) * inv
+             ).astype(dtype)
     return x * scale + shift
 
 
 def batch_norm_train_stats(x):
-    """Batch mean and biased variance over (N, H, W) in float32."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(0, 1, 2))
-    var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+    """Batch mean and biased variance over (N, H, W) in >= float32."""
+    stat_dtype = jnp.promote_types(jnp.float32, x.dtype)
+    xs = x.astype(stat_dtype)
+    mean = jnp.mean(xs, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(xs), axis=(0, 1, 2)) - jnp.square(mean)
     return mean, var
 
 

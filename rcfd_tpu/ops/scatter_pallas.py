@@ -68,9 +68,11 @@ def _kernel(x_ref, valid_ref, crop_ref, out_ref, *, threshold: float,
 
     base = jnp.concatenate(
         [packed, jnp.zeros((8, packed.shape[1]), jnp.int32)], axis=0)
-    shifted = jax.lax.switch(
-        r, [functools.partial(jnp.roll, shift=s, axis=0)
-            for s in range(8)], base)
+    # shift=0 must be the identity: jnp.roll(x, 0) lowers to a 0-size
+    # slice that Mosaic rejects
+    branches = [lambda b: b] + [
+        functools.partial(jnp.roll, shift=s, axis=0) for s in range(1, 8)]
+    shifted = jax.lax.switch(r, branches, base)
 
     window = pw + 8
     current = out_ref[pl.ds(x_aligned, window), :]

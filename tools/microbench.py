@@ -101,6 +101,82 @@ def bench_reproject(h=900, w=1600):
           f'multi-frame GT merge')
 
 
+def bench_radarnet(k=64, h=900, w=1600):
+    """End-to-end RadarNet scatter inference (stage 1) on one frame."""
+    import jax
+    import jax.numpy as jnp
+    from rcfd_tpu import radarnet_main
+    from rcfd_tpu.data.transforms import Transforms
+    from rcfd_tpu.models import RadarNetModel
+
+    model = RadarNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=(900, 288),
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=[32, 64, 128, 128, 128],
+        n_neurons_encoder_depth=[32, 64, 128, 128, 128],
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=[256, 128, 64, 32, 16])
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    forward = radarnet_main.make_forward_fn(
+        model, Transforms(normalized_image_range=[0, 1]), h, w)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32) * 255)
+    points = jnp.asarray(np.stack([
+        rng.integers(0, w, k).astype(np.float32),
+        rng.integers(0, h, k).astype(np.float32),
+        rng.random(k, dtype=np.float32) * 70 + 1], axis=1))
+    valid = jnp.ones((k,), bool)
+    t = timed(lambda *a: forward(params, state, *a), image, points, valid,
+              n=3)
+    print(f'radarnet inference K={k} full frame: {t * 1000:.1f} ms '
+          f'({1.0 / t:.2f} frames/s)')
+
+
+def bench_pipeline(k=64, h=900, w=1600):
+    """Fused two-stage pipeline per frame (BASELINE north star)."""
+    import jax
+    import jax.numpy as jnp
+    from rcfd_tpu.models import FusionNetModel, RadarNetModel
+    from rcfd_tpu.pipeline import TwoStagePipeline
+
+    radarnet = RadarNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=(900, 288),
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=[32, 64, 128, 128, 128],
+        n_neurons_encoder_depth=[32, 64, 128, 128, 128],
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=[256, 128, 64, 32, 16])
+    fusionnet = FusionNetModel(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type='fusionnet18_batch_norm',
+        n_filters_encoder_image=[32, 64, 128, 256, 256, 256],
+        n_filters_encoder_depth=[16, 32, 64, 128, 128, 128],
+        fusion_type='weight_and_project',
+        decoder_type='multiscale_batch_norm',
+        n_resolution_decoder=1,
+        n_filters_decoder=[256, 256, 128, 64, 64, 32],
+        min_predict_depth=1.0, max_predict_depth=100.0)
+    pipe = TwoStagePipeline(
+        radarnet, fusionnet,
+        jax.jit(radarnet.init)(jax.random.PRNGKey(0)),
+        jax.jit(fusionnet.init)(jax.random.PRNGKey(1)),
+        h, w, optimize=True, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32) * 255)
+    points = jnp.asarray(np.stack([
+        rng.integers(0, w, k).astype(np.float32),
+        rng.integers(0, h, k).astype(np.float32),
+        rng.random(k, dtype=np.float32) * 70 + 1], axis=1))
+    valid = jnp.ones((k,), bool)
+    t = timed(pipe, image, points, valid, n=3)
+    print(f'fused two-stage pipeline K={k} full frame: {t * 1000:.1f} ms '
+          f'({1.0 / t:.2f} frames/s)')
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--ops', nargs='+',
@@ -113,6 +189,10 @@ def main():
         bench_roi_pool(k=args.k)
     if 'reproject' in args.ops:
         bench_reproject()
+    if 'radarnet' in args.ops:
+        bench_radarnet(k=min(args.k, 64))
+    if 'pipeline' in args.ops:
+        bench_pipeline(k=min(args.k, 64))
 
 
 if __name__ == '__main__':
