@@ -68,6 +68,47 @@ def test_resnet18_image_only_parity(tmp_path, rng):
     _compare(ref, ours, params, state, rng)
 
 
+def test_multiscale_decoder_n_resolution_3_parity(tmp_path, rng):
+    """n_resolution > 1 exercises the side outputs + align_corners bilinear
+    upsample + skip concatenation (src/networks.py:1595-1645)."""
+    import torch
+    fusionnet_model = import_reference('fusionnet_model')
+    torch.manual_seed(3)
+    cfg = dict(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type='fusionnet18_batch_norm',
+        n_filters_encoder_image=[8, 12, 16, 16, 16],
+        n_filters_encoder_depth=[4, 6, 8, 8, 8],
+        fusion_type='weight_and_project',
+        decoder_type='multiscale_batch_norm',
+        n_resolution_decoder=3,
+        n_filters_decoder=[16, 12, 8, 8, 8],
+        min_predict_depth=1.0, max_predict_depth=100.0)
+    ref = fusionnet_model.FusionNetModel(
+        **cfg, deconv_type='up', activation_func='leaky_relu',
+        weight_initializer='kaiming_uniform', device=torch.device('cpu'))
+    ours = FusionNetModel(**cfg)
+    path = str(tmp_path / 'ms.pth')
+    ref.save_model(path, step=1,
+                   optimizer=torch.optim.Adam(ref.parameters(), lr=1e-4))
+    params, state, _, _ = ours.restore_checkpoint(path)
+
+    image = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    depth = rng.standard_normal((1, 64, 64, 2)).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        ref_outs = ref.forward(
+            image=torch.from_numpy(image.transpose(0, 3, 1, 2)),
+            input_depth=torch.from_numpy(depth.transpose(0, 3, 1, 2)),
+            return_multiscale=True)
+    outs, _ = ours.apply(params, state, jnp.asarray(image),
+                         jnp.asarray(depth), return_multiscale=True)
+    assert len(outs) == len(ref_outs) == 3
+    for o, r in zip(outs, ref_outs):
+        np.testing.assert_allclose(
+            np.asarray(o)[..., 0], r.numpy()[:, 0], rtol=1e-4, atol=1e-4)
+
+
 def test_eval_metrics_match_reference(rng):
     ref_eval = import_reference('eval_utils')
     src = rng.random(500).astype(np.float32) * 70 + 1
