@@ -129,6 +129,45 @@ class TwoStagePipeline:
             self.fusionnet_params, self.fusionnet_state,
             image, points, valid)
 
+    def from_raw_radar(self, image, points_sensor, valid,
+                       sensor_to_camera, intrinsics,
+                       min_distance_from_camera: float = 1.0):
+        """Full fused path from RAW radar returns in the sensor frame:
+        pose-chain projection (geometry kernels) -> RadarNet -> scatter ->
+        FusionNet, one program. Replaces the reference's offline radar
+        projection (setup/setup_dataset_nuscenes.py:616-797) for serving.
+
+        Arg(s):
+            points_sensor : (K, 3) radar returns in the radar sensor frame
+            sensor_to_camera : 4x4 rigid transform (see
+                geometry.sensor_to_camera_matrix)
+            intrinsics : 3x3 camera matrix
+        """
+        from .geometry.transforms import project_points_to_image
+
+        if not hasattr(self, '_forward_raw'):
+            h, w = self.image_height, self.image_width
+
+            def fwd(rn_p, rn_s, fn_p, fn_s, image, pts, valid, m, k):
+                xy, depth, proj_mask = project_points_to_image(
+                    pts, m, k, h, w,
+                    min_distance_from_camera=min_distance_from_camera)
+                # image-plane points: rounded pixel x, y + metric z
+                # (the .npy contract produced by stage 0)
+                points_img = jnp.stack(
+                    [jnp.round(xy[:, 0]), jnp.round(xy[:, 1]), depth],
+                    axis=-1).astype(jnp.float32)
+                valid_all = valid & proj_mask
+                points_img = jnp.where(valid_all[:, None], points_img, 0.0)
+                return self._forward(rn_p, rn_s, fn_p, fn_s, image,
+                                     points_img, valid_all)
+
+            self._forward_raw = jax.jit(fwd)
+        return self._forward_raw(
+            self.radarnet_params, self.radarnet_state,
+            self.fusionnet_params, self.fusionnet_state,
+            image, points_sensor, valid, sensor_to_camera, intrinsics)
+
     @classmethod
     def from_checkpoints(cls,
                          radarnet_restore_path: str,

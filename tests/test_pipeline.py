@@ -97,3 +97,47 @@ def test_fused_pipeline_matches_file_based_composition(tmp_path):
     np.testing.assert_allclose(
         np.asarray(dense), np.asarray(out_file)[0, :, :, 0],
         rtol=1e-4, atol=1e-4)
+
+
+def test_from_raw_radar_matches_preprojected(tmp_path):
+    """The fused raw-radar path (on-device pose projection) must equal
+    running the pipeline on pre-projected image-plane points."""
+    rng = np.random.default_rng(1)
+    radarnet = RadarNetModel(**RN_KWARGS)
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    rn_vars = radarnet.init(jax.random.PRNGKey(2))
+    fn_vars = fusionnet.init(jax.random.PRNGKey(3))
+    pipeline = TwoStagePipeline(
+        radarnet, fusionnet, rn_vars, fn_vars, H, W)
+
+    image = (rng.random((H, W, 3), dtype=np.float32) * 255)
+    k_mat = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                     np.float32)
+    ident = np.eye(4, dtype=np.float32)
+    n = 6
+    points_cam = np.stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-0.3, 0.3, n),
+        rng.uniform(5, 60, n)], axis=1).astype(np.float32)
+
+    dense_raw, quasi_raw, _ = pipeline.from_raw_radar(
+        jnp.asarray(image)[None], jnp.asarray(points_cam),
+        jnp.ones(n, bool), jnp.asarray(ident), jnp.asarray(k_mat))
+
+    # project on the host exactly the same way
+    proj = points_cam @ k_mat.T
+    xy = proj[:, :2] / proj[:, 2:3]
+    pts_img = np.stack([np.round(xy[:, 0]), np.round(xy[:, 1]),
+                        points_cam[:, 2]], axis=1).astype(np.float32)
+    z = points_cam[:, 2]
+    mask = (z > 1.0) & (xy[:, 0] > 1) & (xy[:, 0] < W - 1) & \
+        (xy[:, 1] > 1) & (xy[:, 1] < H - 1)
+
+    dense_pre, quasi_pre, _ = pipeline(
+        jnp.asarray(image)[None],
+        jnp.asarray(np.where(mask[:, None], pts_img, 0.0)),
+        jnp.asarray(mask))
+
+    np.testing.assert_allclose(np.asarray(quasi_raw), np.asarray(quasi_pre),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dense_raw), np.asarray(dense_pre),
+                               rtol=1e-4, atol=1e-4)
