@@ -125,6 +125,12 @@ def read_image(path: str) -> np.ndarray:
     return out
 
 
+def _clamp_threads(n_threads: int) -> int:
+    """Decode threads beyond the usable core count only thrash."""
+    return max(1, min(n_threads, len(os.sched_getaffinity(0))
+                      if hasattr(os, 'sched_getaffinity') else os.cpu_count()))
+
+
 def batch_read_depth(paths: List[str], height: int, width: int,
                      multiplier: float = 256.0,
                      n_threads: int = 8) -> np.ndarray:
@@ -133,7 +139,7 @@ def batch_read_depth(paths: List[str], height: int, width: int,
     out = np.empty((len(paths), height, width), np.float32)
     blob = b'\0'.join(p.encode() for p in paths) + b'\0'
     rc = lib.rcfd_batch_read(blob, len(paths), 0, multiplier, _fptr(out),
-                             height, width, n_threads)
+                             height, width, _clamp_threads(n_threads))
     if rc != 0:
         raise IOError(f'batch depth decode failed ({rc})')
     return out
@@ -145,7 +151,7 @@ def batch_read_images(paths: List[str], height: int, width: int,
     out = np.empty((len(paths), height, width, 3), np.float32)
     blob = b'\0'.join(p.encode() for p in paths) + b'\0'
     rc = lib.rcfd_batch_read(blob, len(paths), 1, 0.0, _fptr(out),
-                             height, width, n_threads)
+                             height, width, _clamp_threads(n_threads))
     if rc != 0:
         raise IOError(f'batch image decode failed ({rc})')
     return out

@@ -76,26 +76,33 @@ int rcfd_png_read_depth(const char* path, float multiplier, float* out,
     fclose(fp);
     return -3;
   }
+  if (bit_depth != 16 && bit_depth != 8) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return -4;
+  }
+  if (bit_depth == 16) png_set_swap(png);  // BE on the wire -> host LE
+  png_read_update_info(png, info);
+
   const float inv = 1.0f / multiplier;
-  std::vector<png_byte> row(png_get_rowbytes(png, info));
-  for (int y = 0; y < height; ++y) {
-    png_read_row(png, row.data(), nullptr);
-    float* dst = out + (size_t)y * width;
-    if (bit_depth == 16) {
-      for (int x = 0; x < width; ++x) {
-        uint16_t v = (uint16_t)((row[2 * x] << 8) | row[2 * x + 1]);  // BE
-        float f = v * inv;
-        dst[x] = f > 0.0f ? f : 0.0f;
-      }
-    } else if (bit_depth == 8) {
-      for (int x = 0; x < width; ++x) {
-        float f = row[x] * inv;
-        dst[x] = f > 0.0f ? f : 0.0f;
-      }
-    } else {
-      png_destroy_read_struct(&png, &info, nullptr);
-      fclose(fp);
-      return -4;
+  const size_t rowbytes = png_get_rowbytes(png, info);
+  std::vector<png_byte> buf(rowbytes * height);
+  std::vector<png_bytep> rows(height);
+  for (int y = 0; y < height; ++y) rows[y] = buf.data() + rowbytes * y;
+  png_read_image(png, rows.data());
+
+  const size_t n = (size_t)height * width;
+  if (bit_depth == 16) {
+    const uint16_t* src = reinterpret_cast<const uint16_t*>(buf.data());
+    for (size_t i = 0; i < n; ++i) {
+      float f = src[i] * inv;
+      out[i] = f > 0.0f ? f : 0.0f;
+    }
+  } else {
+    const uint8_t* src = buf.data();
+    for (size_t i = 0; i < n; ++i) {
+      float f = src[i] * inv;
+      out[i] = f > 0.0f ? f : 0.0f;
     }
   }
   png_destroy_read_struct(&png, &info, nullptr);

@@ -177,6 +177,41 @@ def bench_pipeline(k=64, h=900, w=1600):
           f'({1.0 / t:.2f} frames/s)')
 
 
+def bench_io(n=64, h=900, w=1600, threads=8):
+    """Host decode throughput: native C++ codec vs PIL."""
+    import tempfile
+
+    from rcfd_tpu import native
+    from rcfd_tpu.data import io as data_utils
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(n):
+            depth = rng.random((h, w), dtype=np.float32) * 80
+            p = os.path.join(d, f'{i}.png')
+            data_utils.save_depth(depth, p)
+            paths.append(p)
+
+        t0 = time.perf_counter()
+        for p in paths:
+            os.environ['RCFD_NATIVE_IO'] = '0'
+            data_utils.load_depth(p)
+        t_pil = time.perf_counter() - t0
+        os.environ['RCFD_NATIVE_IO'] = '1'
+
+        if native.available():
+            t0 = time.perf_counter()
+            native.batch_read_depth(paths, h, w, n_threads=threads)
+            t_nat = time.perf_counter() - t0
+            print(f'depth decode {n}x{h}x{w}: PIL {n / t_pil:.1f} img/s, '
+                  f'native({threads} threads) {n / t_nat:.1f} img/s '
+                  f'({t_pil / t_nat:.1f}x)')
+        else:
+            print(f'depth decode {n}: PIL {n / t_pil:.1f} img/s '
+                  f'(native unavailable)')
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--ops', nargs='+',
@@ -191,6 +226,8 @@ def main():
         bench_reproject()
     if 'radarnet' in args.ops:
         bench_radarnet(k=min(args.k, 64))
+    if 'io' in args.ops:
+        bench_io()
     if 'pipeline' in args.ops:
         bench_pipeline(k=min(args.k, 64))
 
