@@ -219,6 +219,11 @@ class FusionNetModel:
         native .npz format when the extension is .npz."""
         params = jax.device_get(params)
         state = jax.device_get(state)
+        if path.endswith('.orbax'):
+            ckpt.save_orbax_checkpoint(
+                path, {'params': params, 'state': state},
+                meta={'train_step': int(step), 'model': 'fusionnet'})
+            return
         if path.endswith('.npz'):
             ckpt.save_native_checkpoint(
                 path,
@@ -237,6 +242,10 @@ class FusionNetModel:
 
     def restore_checkpoint(self, path: str):
         """Returns (params, state, train_step, optimizer_state_dict)."""
+        if path.endswith('.orbax'):
+            trees, meta = ckpt.load_orbax_checkpoint(path)
+            return trees['params'], trees['state'], \
+                int(meta.get('train_step', 0)), None
         if path.endswith('.npz'):
             trees, meta = ckpt.load_native_checkpoint(path)
             return trees['params'], trees['state'], meta.get('train_step', 0), None

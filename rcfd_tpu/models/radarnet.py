@@ -120,6 +120,11 @@ class RadarNetModel:
         radarnet_encoder_state_dict, radarnet_decoder_state_dict."""
         params = jax.device_get(params)
         state = jax.device_get(state)
+        if path.endswith('.orbax'):
+            ckpt.save_orbax_checkpoint(
+                path, {'params': params, 'state': state},
+                meta={'train_step': int(step), 'model': 'radarnet'})
+            return
         if path.endswith('.npz'):
             ckpt.save_native_checkpoint(
                 path,
@@ -137,6 +142,10 @@ class RadarNetModel:
         ckpt.save_torch_checkpoint(path, checkpoint)
 
     def restore_checkpoint(self, path: str):
+        if path.endswith('.orbax'):
+            trees, meta = ckpt.load_orbax_checkpoint(path)
+            return trees['params'], trees['state'], \
+                int(meta.get('train_step', 0)), None
         if path.endswith('.npz'):
             trees, meta = ckpt.load_native_checkpoint(path)
             return trees['params'], trees['state'], meta.get('train_step', 0), None

@@ -247,6 +247,31 @@ def _to_numpy(v):
 
 
 # ---------------------------------------------------------------------------
+# Orbax backend (directory checkpoints; async/sharded-capable)
+# ---------------------------------------------------------------------------
+
+def save_orbax_checkpoint(path: str, trees: Dict[str, Any],
+                          meta: Optional[dict] = None):
+    """Save named pytrees with orbax (production JAX checkpointing: works
+    with sharded arrays and large models; the reference-format .pth and the
+    .npz formats remain for interop)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(path, {'trees': trees, 'meta': meta or {}})
+
+
+def load_orbax_checkpoint(path: str) -> Tuple[Dict[str, Any], dict]:
+    import orbax.checkpoint as ocp
+    checkpointer = ocp.PyTreeCheckpointer()
+    restored = checkpointer.restore(os.path.abspath(path))
+    return restored['trees'], restored.get('meta', {})
+
+
+# ---------------------------------------------------------------------------
 # Native format (.npz) — no torch required
 # ---------------------------------------------------------------------------
 

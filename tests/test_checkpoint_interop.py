@@ -151,3 +151,16 @@ def test_native_npz_round_trip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_round_trip(tmp_path):
+    pytest.importorskip('orbax.checkpoint')
+    model = FusionNetModel(**CONFIG)
+    params, state = model.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / 'ours.orbax')
+    model.save_checkpoint(path, params, state, step=9)
+    p2, s2, step, _ = model.restore_checkpoint(path)
+    assert step == 9
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
