@@ -127,9 +127,12 @@ def make_forward_fn(model: FusionNetModel, transforms: Transforms):
         (image_t,) = transforms.transform(
             jax.random.PRNGKey(0), [image], random_transform_probability=0.0)
         input_depth = jnp.concatenate([depth, response], axis=-1)
-        output_depth, _ = model.apply(params, state, image_t, input_depth,
-                                      training=False)
-        return output_depth
+        # follow the params' compute dtype (bf16 serving: cast params once)
+        pdtype = jax.tree_util.tree_leaves(params)[0].dtype
+        output_depth, _ = model.apply(
+            params, state, image_t.astype(pdtype), input_depth.astype(pdtype),
+            training=False)
+        return output_depth.astype(jnp.float32)
 
     return forward
 
@@ -583,9 +586,14 @@ def run(restore_path,
         weight_initializer, activation_func, min_predict_depth,
         max_predict_depth)
     params, state, step, _ = model.restore_checkpoint(restore_path)
-    # inference-only optimization: fold BN into conv weights
+    # inference-only optimizations: fold BN into conv weights; optional
+    # bfloat16 serving (RCFD_COMPUTE_DTYPE=bfloat16)
+    from .nn.core import cast_tree
     from .nn.optimize import fold_batch_norm
     params, state = fold_batch_norm(params, state)
+    if os.environ.get('RCFD_COMPUTE_DTYPE') == 'bfloat16':
+        params = cast_tree(params, jnp.bfloat16)
+        state = cast_tree(state, jnp.bfloat16)
     forward_fn = make_forward_fn(model, transforms)
 
     log('Evaluation input paths:', log_path)

@@ -142,10 +142,13 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
         points_shifted = points.at[:, 0].set(x_shifted)
         x1 = (x_shifted - pad)[None, :]  # (1, K)
 
+        # follow the params' compute dtype (bf16 serving: cast params once)
+        pdtype = jax.tree_util.tree_leaves(params)[0].dtype
         responses, _ = model.apply(
-            params, state, image_pad, points_shifted, x1,
+            params, state, image_pad.astype(pdtype),
+            points_shifted.astype(pdtype), x1,
             box_height=image_height, training=False, return_logits=False)
-        crops = responses[..., 0]  # (K, ph, pw)
+        crops = responses[..., 0].astype(jnp.float32)  # (K, ph, pw)
 
         if use_pallas:
             from .ops.scatter_pallas import scatter_quasi_dense_pallas
@@ -573,9 +576,14 @@ def run(restore_path,
         n_filters_encoder_image, n_neurons_encoder_depth, decoder_type,
         n_filters_decoder, weight_initializer, activation_func)
     params, state, step, _ = model.restore_checkpoint(restore_path)
-    # inference-only optimization: fold BN into conv weights
+    # inference-only optimizations: fold BN into conv weights; optional
+    # bfloat16 serving (RCFD_COMPUTE_DTYPE=bfloat16)
+    from .nn.core import cast_tree
     from .nn.optimize import fold_batch_norm
     params, state = fold_batch_norm(params, state)
+    if os.environ.get('RCFD_COMPUTE_DTYPE') == 'bfloat16':
+        params = cast_tree(params, jnp.bfloat16)
+        state = cast_tree(state, jnp.bfloat16)
 
     sample_image = data_utils.load_image(image_paths[0])
     image_height, image_width = sample_image.shape[0], sample_image.shape[1]
