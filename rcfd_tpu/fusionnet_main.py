@@ -308,15 +308,11 @@ def train(train_image_path,
 
     if use_mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from .parallel.mesh import data_parallel_step
         mesh = get_mesh(n_devices)
         assert batch_size % n_devices == 0, \
             'batch_size must divide the data-parallel device count'
-        step_fn = shard_map(
-            step_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P('data'), P(), P(), P()),
-            out_specs=(P(), P(), P(), P()),
-            check_rep=False)
+        step_jit = data_parallel_step(mesh, step_fn)
         batch_sharding = NamedSharding(mesh, P('data'))
         replicated = NamedSharding(mesh, P())
         params = jax.device_put(params, replicated)
@@ -324,8 +320,7 @@ def train(train_image_path,
         opt_state = jax.device_put(opt_state, replicated)
     else:
         batch_sharding = None
-
-    step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
     forward_fn = make_forward_fn(model, val_transforms)
 
     train_summary_writer = SummaryWriter(event_path + '-train')

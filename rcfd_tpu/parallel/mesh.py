@@ -39,28 +39,17 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = 'data'):
 
 
 def data_parallel_step(mesh: Mesh, step_fn: Callable, axis_name: str = 'data',
-                       donate_argnums=()):
-    """Wrap a per-shard train step into a pjit-ed SPMD program.
-
-    step_fn(params, state, opt_state, batch, *args) must already contain a
-    lax.pmean/psum over `axis_name` for gradients (use
-    jax.lax.pmean(grads, axis_name)); this wrapper supplies the mesh
-    context via shard_map.
-    """
+                       donate_argnums=(0, 1, 2)):
+    """Wrap a per-shard train step (params, state, opt_state, batch, key,
+    lr, aug_prob) into a jitted SPMD program: params/opt state replicated,
+    batch sharded over `axis_name`. step_fn must already pmean its
+    gradients over the axis (the drivers' _make_train_step does)."""
     from jax.experimental.shard_map import shard_map
-
-    def spec_like(leading_sharded):
-        return P(axis_name) if leading_sharded else P()
 
     wrapped = shard_map(
         step_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis_name), P(), P()),
+        in_specs=(P(), P(), P(), P(axis_name), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_rep=False)
     return jax.jit(wrapped, donate_argnums=donate_argnums)
-
-
-def pmean_tree(tree, axis_name: str = 'data'):
-    return jax.tree_util.tree_map(
-        lambda x: jax.lax.pmean(x, axis_name), tree)

@@ -319,15 +319,10 @@ def train(train_image_path,
 
     if use_mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
-        from .parallel.mesh import get_mesh
+        from .parallel.mesh import data_parallel_step, get_mesh
         mesh = get_mesh(n_devices)
         assert batch_size % n_devices == 0
-        step_fn = shard_map(
-            step_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P('data'), P(), P(), P()),
-            out_specs=(P(), P(), P(), P()),
-            check_rep=False)
+        step_jit = data_parallel_step(mesh, step_fn)
         batch_sharding = NamedSharding(mesh, P('data'))
         replicated = NamedSharding(mesh, P())
         params = jax.device_put(params, replicated)
@@ -335,8 +330,7 @@ def train(train_image_path,
         opt_state = jax.device_put(opt_state, replicated)
     else:
         batch_sharding = None
-
-    step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
     # Validation images are full nuScenes frames
     sample_image = data_utils.load_image(val_image_paths[0]) \
