@@ -143,17 +143,21 @@ def init_linear(key, in_features, out_features, initializer: str):
 # Core ops
 # ---------------------------------------------------------------------------
 
-def conv2d(x, w, stride: int = 1, padding: Optional[int] = None):
-    """2D convolution, NHWC x HWIO -> NHWC, symmetric padding k//2 by default."""
+def conv2d(x, w, stride=1, padding: Optional[int] = None):
+    """2D convolution, NHWC x HWIO -> NHWC, symmetric padding k//2 by
+    default. stride may be an int or an (sh, sw) pair (the legacy v0
+    encoder uses rectangular 17x3 kernels, reference src/models.py:58-63)."""
     kh, kw = w.shape[0], w.shape[1]
     if padding is None:
         pad_h, pad_w = kh // 2, kw // 2
     else:
         pad_h = pad_w = padding
+    if isinstance(stride, int):
+        stride = (stride, stride)
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
-        window_strides=(stride, stride),
+        window_strides=tuple(stride),
         padding=((pad_h, pad_h), (pad_w, pad_w)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
     )

@@ -63,13 +63,14 @@ class Conv2d(Module):
     def __init__(self,
                  in_channels: int,
                  out_channels: int,
-                 kernel_size: int = 3,
-                 stride: int = 1,
+                 kernel_size=3,
+                 stride=1,
                  weight_initializer: str = 'kaiming_uniform',
                  activation_func=('leaky_relu_default', 0.10),
                  use_batch_norm: bool = False):
         self.in_channels = in_channels
         self.out_channels = out_channels
+        # int or (kh, kw): the legacy v0 encoder uses tall 17x3 kernels
         self.kernel_size = kernel_size
         self.stride = stride
         self.weight_initializer = weight_initializer
@@ -79,7 +80,9 @@ class Conv2d(Module):
 
     def init(self, key):
         k_conv, k_bn = jax.random.split(key)
-        shape = (self.kernel_size, self.kernel_size, self.in_channels, self.out_channels)
+        ks = self.kernel_size
+        kh, kw = (ks, ks) if isinstance(ks, int) else (ks[0], ks[1])
+        shape = (kh, kw, self.in_channels, self.out_channels)
         params = {'conv': {'weight': F.init_conv_weight(k_conv, shape, self.weight_initializer)}}
         state = {}
         if self.bn is not None:
