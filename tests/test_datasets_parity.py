@@ -1,0 +1,100 @@
+"""Dataset parity vs the reference dataset classes on identical files.
+
+Inference datasets are deterministic (no RNG), so outputs must match the
+reference exactly up to the NCHW->NHWC layout change. Training datasets
+differ only in RNG plumbing (explicit Generator vs global np.random) —
+their deterministic sub-behaviors (padding, box construction, crop
+geometry) are covered by structural assertions.
+"""
+
+import numpy as np
+import pytest
+
+from fixtures import make_fusionnet_fixture, make_radarnet_fixture
+
+from rcfd_tpu.data import io as data_utils
+from rcfd_tpu.data.datasets import (FusionNetInferenceDataset,
+                                    RadarNetInferenceDataset,
+                                    RadarNetTrainingDataset)
+
+from reference_import import import_reference
+
+
+def test_fusionnet_inference_dataset_parity(tmp_path):
+    ref_datasets = import_reference('datasets')
+    manifests = make_fusionnet_fixture(str(tmp_path), n_samples=3,
+                                       height=32, width=48)
+    paths = {k: data_utils.read_paths(v) for k, v in manifests.items()}
+
+    ref_ds = ref_datasets.FusionNetInferenceDataset(
+        image_paths=paths['image'], depth_paths=paths['depth'],
+        response_paths=paths['response'],
+        ground_truth_paths=paths['ground_truth'])
+    ours = FusionNetInferenceDataset(
+        image_paths=paths['image'], depth_paths=paths['depth'],
+        response_paths=paths['response'],
+        ground_truth_paths=paths['ground_truth'])
+
+    for idx in range(3):
+        ref_items = ref_ds[idx]
+        our_items = ours.get(idx)
+        assert len(ref_items) == len(our_items) == 4
+        for r, o in zip(ref_items, our_items):
+            # reference is CHW; ours is HWC
+            np.testing.assert_array_equal(np.transpose(o, (2, 0, 1)), r)
+
+
+def test_radarnet_inference_dataset_parity(tmp_path):
+    ref_datasets = import_reference('datasets')
+    manifests = make_radarnet_fixture(str(tmp_path), n_samples=2,
+                                      height=32, width=48, n_points=7)
+    paths = {k: data_utils.read_paths(v) for k, v in manifests.items()}
+
+    ref_ds = ref_datasets.RadarNetInferenceDataset(
+        image_paths=paths['image'], radar_paths=paths['radar'],
+        ground_truth_paths=paths['ground_truth'])
+    ours = RadarNetInferenceDataset(
+        image_paths=paths['image'], radar_paths=paths['radar'],
+        ground_truth_paths=paths['ground_truth'], max_points=16)
+
+    for idx in range(2):
+        ref_image, ref_points, ref_gt = ref_ds[idx]
+        image, points, valid, gt = ours.get(idx)
+        np.testing.assert_array_equal(np.transpose(image, (2, 0, 1)),
+                                      ref_image)
+        np.testing.assert_array_equal(np.transpose(gt, (2, 0, 1)), ref_gt)
+        n = ref_points.shape[0]
+        assert valid[:n].all() and not valid[n:].any()
+        np.testing.assert_array_equal(points[:n], ref_points)
+        assert (points[n:] == 0).all()
+
+
+def test_radarnet_training_dataset_structure(tmp_path):
+    """Deterministic sub-behaviors of the training dataset: edge padding,
+    full-height fixed-width boxes, bottom-rows crop geometry."""
+    manifests = make_radarnet_fixture(str(tmp_path), n_samples=1,
+                                      height=40, width=64, n_points=9)
+    paths = {k: data_utils.read_paths(v) for k, v in manifests.items()}
+    patch = (32, 16)
+    pad = patch[1] // 2
+    ds = RadarNetTrainingDataset(
+        image_paths=paths['image'], radar_paths=paths['radar'],
+        ground_truth_paths=paths['ground_truth'], patch_size=patch,
+        total_points_sampled=4, sample_probability_of_lidar=0.0)
+    rng = np.random.default_rng(0)
+    image, points, boxes, gt_crops = ds.get(0, rng)
+
+    assert image.shape == (patch[0], 64 + 2 * pad, 3)
+    assert points.shape == (4, 3)
+    assert boxes.shape == (4, 4)
+    assert gt_crops.shape == (4, patch[0], patch[1], 1)
+    # boxes are [x - pad, 0, x + pad, patch_h] around the shifted x
+    np.testing.assert_array_equal(boxes[:, 0], points[:, 0] - pad)
+    np.testing.assert_array_equal(boxes[:, 2], points[:, 0] + pad)
+    np.testing.assert_array_equal(boxes[:, 1], 0)
+    np.testing.assert_array_equal(boxes[:, 3], patch[0])
+    # edge padding: first pad columns replicate the original column 0
+    raw = data_utils.load_image(paths['image'][0])[40 - patch[0]:]
+    np.testing.assert_array_equal(image[:, 0], raw[:, 0])
+    np.testing.assert_array_equal(image[:, pad - 1], raw[:, 0])
+    np.testing.assert_array_equal(image[:, pad:pad + 64], raw)
