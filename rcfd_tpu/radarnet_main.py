@@ -119,7 +119,8 @@ def _make_train_step(model: RadarNetModel,
 
 
 def make_forward_fn(model: RadarNetModel, transforms: Transforms,
-                    image_height: int, image_width: int):
+                    image_height: int, image_width: int,
+                    threshold: float = 0.5):
     """Jitted scatter inference over one frame with a padded point set
     (reference forward(), src/radarnet_main.py:534-591).
 
@@ -155,12 +156,12 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
             depth_map, response_map = scatter_quasi_dense_pallas(
                 crops, x_shifted, points[:, 2], valid,
                 image_height=image_height, image_width=image_width,
-                patch_size=patch_size)
+                patch_size=patch_size, threshold=threshold)
         else:
             depth_map, response_map = scatter_quasi_dense(
                 crops, x_shifted, points[:, 2], valid,
                 image_height=image_height, image_width=image_width,
-                patch_size=patch_size)
+                patch_size=patch_size, threshold=threshold)
         return depth_map, response_map
 
     return forward
@@ -581,7 +582,8 @@ def run(restore_path,
 
     sample_image = data_utils.load_image(image_paths[0])
     image_height, image_width = sample_image.shape[0], sample_image.shape[1]
-    forward_fn = make_forward_fn(model, transforms, image_height, image_width)
+    forward_fn = make_forward_fn(model, transforms, image_height, image_width,
+                                 threshold=response_thr)
 
     if save_outputs:
         output_dirs = {
