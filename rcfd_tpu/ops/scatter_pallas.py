@@ -135,7 +135,7 @@ def _call(response_crops, x_start, valid_i32, ph, pw, w_padded, threshold,
     k = response_crops.shape[0]
     try:
         from jax.experimental.pallas import tpu as pltpu
-        smem = pltpu.SMEM
+
         vmem = pltpu.VMEM
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
