@@ -50,9 +50,28 @@ def _inputs(batch, rng):
     return image, depth, response
 
 
-def bench_ours(batch_candidates=(4, 2, 1), n_iters=10, dtype='bfloat16'):
+def bench_ours(batch_candidates=(4, 2, 1), dtype='bfloat16', n_scan=16,
+               mode=None):
+    """FusionNet inference throughput.
+
+    mode='dispatch' (default): chained per-call timing loop. Robust, but
+    this container reaches the chip through a relay whose per-dispatch RPC
+    overhead (~150 ms) is included — the number UNDERSTATES device
+    throughput (a separately measured device-only split put the model at
+    ~21 ms/frame vs ~59 ms/frame including relay overhead; see
+    docs/PERF.md).
+
+    mode='scan' (RCFD_BENCH_MODE=scan): a single on-device lax.scan of
+    chained forwards amortizes the dispatch overhead over batch*n_scan
+    frames — the honest device number, but its remote compile can take
+    >10 min through this container's compile relay, so it is opt-in. The
+    carry feeds each output back into the next input (x 1e-12) so the
+    compiler cannot CSE/hoist the loop body.
+    """
+    mode = mode or os.environ.get('RCFD_BENCH_MODE', 'dispatch')
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from rcfd_tpu.models import FusionNetModel
     from rcfd_tpu.nn.core import cast_tree
     from rcfd_tpu.nn.optimize import fold_batch_norm
@@ -63,6 +82,23 @@ def bench_ours(batch_candidates=(4, 2, 1), n_iters=10, dtype='bfloat16'):
     cdtype = jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32
     params_c = cast_tree(params, cdtype)
     state_c = cast_tree(state, cdtype)
+
+    def make_loop(n):
+        @jax.jit
+        def loop(p, s, image, depth, response):
+            input_depth = jnp.concatenate([depth, response], axis=-1)
+
+            def body(img, _):
+                out, _ = model.apply(p, s, img.astype(cdtype),
+                                     input_depth.astype(cdtype),
+                                     training=False)
+                img = img + out.astype(img.dtype) * 1e-12
+                return img, ()
+
+            img, _ = lax.scan(body, image, None, length=n)
+            return img[0, 0, 0, 0]
+
+        return loop
 
     @jax.jit
     def forward(p, s, image, depth, response):
@@ -76,29 +112,40 @@ def bench_ours(batch_candidates=(4, 2, 1), n_iters=10, dtype='bfloat16'):
     for batch in batch_candidates:
         try:
             image, depth, response = _inputs(batch, rng)
-            image_d = jax.device_put(image)
-            depth_d = jax.device_put(depth)
-            response_d = jax.device_put(response)
-            # compile + warmup (fetch a scalar: block_until_ready alone is
-            # not a reliable fence on the experimental axon relay)
-            out = forward(params_c, state_c, image_d, depth_d, response_d)
-            float(jnp.sum(out[:, ::64, ::64]))
-            t0 = time.perf_counter()
-            acc = jnp.zeros((), jnp.float32)
-            for _ in range(n_iters):
-                out = forward(params_c, state_c, image_d, depth_d, response_d)
-                # data dependence chains the iterations without a host sync
-                acc = acc + out[0, 0, 0, 0]
-            assert np.isfinite(float(acc))  # forces the whole chain
-            dt = time.perf_counter() - t0
-            fps = batch * n_iters / dt
-            print(f'[bench] ours: batch={batch} dtype={dtype} '
-                  f'{fps:.3f} frames/s ({dt / n_iters * 1000:.1f} ms/iter)',
-                  file=sys.stderr)
+            args = tuple(jax.device_put(a) for a in (image, depth, response))
+
+            if mode == 'scan':
+                loop = make_loop(n_scan)
+                float(loop(params_c, state_c, *args))  # compile + warm
+
+                def run():
+                    t0 = time.perf_counter()
+                    v = float(loop(params_c, state_c, *args))
+                    assert np.isfinite(v)
+                    return time.perf_counter() - t0
+
+                dt = min(run() for _ in range(3))
+                n_frames = batch * n_scan
+            else:
+                n_iters = 10
+                out = forward(params_c, state_c, *args)
+                float(jnp.sum(out[:, ::64, ::64]))  # compile + fence
+                t0 = time.perf_counter()
+                acc = jnp.zeros((), jnp.float32)
+                for _ in range(n_iters):
+                    out = forward(params_c, state_c, *args)
+                    acc = acc + out[0, 0, 0, 0]  # chain without host sync
+                assert np.isfinite(float(acc))
+                dt = time.perf_counter() - t0
+                n_frames = batch * n_iters
+
+            fps = n_frames / dt
+            print(f'[bench] ours: mode={mode} batch={batch} dtype={dtype} '
+                  f'{fps:.3f} frames/s', file=sys.stderr)
             return fps, batch
         except Exception as e:  # OOM fallback to smaller batch
             last_err = e
-            print(f'[bench] batch={batch} failed: {type(e).__name__}',
+            print(f'[bench] batch={batch} failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
     raise RuntimeError(f'all batch sizes failed: {last_err}')
 
