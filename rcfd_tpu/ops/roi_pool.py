@@ -120,15 +120,21 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
     valid = cols < wend[..., None]
     cols_c = jnp.clip(cols, 0, w_f - 1)
 
-    # Gather columns from the row-pooled map: out[n,k,ph,pw,T,C]
+    # Gather columns from the row-pooled map, one bin tap at a time:
+    # accumulating the max over T gathers of (ph, K*pw, C) instead of one
+    # (ph, K*pw*T, C) gather cuts the transient HBM traffic by T (the
+    # 1/2-scale skip at K=128 would otherwise materialize ~3 GB).
     def per_image(rows_n, cols_n, valid_n):
         # rows_n: (ph, W_f, C); cols_n/valid_n: (K, pw, T)
-        g = rows_n[:, cols_n.reshape(-1)]  # (ph, K*pw*T, C)
-        g = g.reshape(pooled_h, k, pooled_w, max_bin_w, c)
-        g = jnp.where(valid_n[None, :, :, :, None], g, jnp.array(-jnp.inf, g.dtype))
-        g = jnp.max(g, axis=3)  # (ph, K, pw, C)
-        g = jnp.where(jnp.isfinite(g), g, 0).astype(rows_n.dtype)
-        return jnp.transpose(g, (1, 0, 2, 3))  # (K, ph, pw, C)
+        neg_inf = jnp.array(-jnp.inf, rows_n.dtype)
+        acc = None
+        for tap in range(max_bin_w):
+            g = rows_n[:, cols_n[..., tap].reshape(-1)]  # (ph, K*pw, C)
+            g = g.reshape(pooled_h, k, pooled_w, c)
+            g = jnp.where(valid_n[None, ..., tap, None], g, neg_inf)
+            acc = g if acc is None else jnp.maximum(acc, g)
+        acc = jnp.where(jnp.isfinite(acc), acc, 0).astype(rows_n.dtype)
+        return jnp.transpose(acc, (1, 0, 2, 3))  # (K, ph, pw, C)
 
     pooled = jax.vmap(per_image)(rows, cols_c, valid)  # (N, K, ph, pw, C)
     return pooled.reshape(n * k, pooled_h, pooled_w, c)
