@@ -8,10 +8,9 @@ psum-reduced over a 'data' mesh axis (replacing torch DataParallel).
 
 from __future__ import annotations
 
-import functools
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .rasterize import points_to_depth_map, z_buffer_merge
+from .rasterize import points_to_depth_map
 from .transforms import backproject_to_camera, transform_points, view_points
 
 

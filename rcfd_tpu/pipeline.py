@@ -15,7 +15,6 @@ FusionNet's datasets read them back with load_depth (x256)
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
