@@ -104,3 +104,14 @@ def test_loader_deterministic_across_worker_counts(tmp_path, rng):
     for b1, b4 in zip(batches1, batches4):
         for t1, t4 in zip(b1, b4):
             np.testing.assert_array_equal(t1, t4)
+
+
+def test_device_prefetch_preserves_order():
+    import jax.numpy as jnp
+    from rcfd_tpu.data.loader import device_prefetch
+
+    batches = [(np.full((2, 3), i, np.float32),) for i in range(5)]
+    out = list(device_prefetch(iter(batches), buffer_size=2))
+    assert len(out) == 5
+    for i, (t,) in enumerate(out):
+        assert float(jnp.max(t)) == i
