@@ -62,7 +62,13 @@ def _make_train_step(model: FusionNetModel,
                      outlier_threshold: float,
                      dilation_kernel_size: int,
                      axis_name: Optional[str] = None):
-    """Build the pure per-shard train step."""
+    """Build the pure per-shard train step.
+
+    RCFD_TRAIN_DTYPE=bfloat16 enables mixed precision: f32 master weights
+    and optimizer state, bf16 network inputs (layers compute in the input
+    dtype on the MXU), f32 losses/gradient accumulation."""
+    compute_dtype = jnp.bfloat16 \
+        if os.environ.get('RCFD_TRAIN_DTYPE') == 'bfloat16' else None
 
     def step(params, state, opt_state, batch, key, lr, aug_prob):
         image, depth, response, ground_truth, lidar_map = batch
@@ -74,6 +80,9 @@ def _make_train_step(model: FusionNetModel,
                 random_transform_probability=aug_prob)
 
         input_depth = jnp.concatenate([depth, response], axis=-1)
+        if compute_dtype is not None:
+            image_t = image_t.astype(compute_dtype)
+            input_depth = input_depth.astype(compute_dtype)
 
         if dilation_kernel_size > 1:
             ground_truth = NF.max_pool2d(
