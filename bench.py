@@ -207,8 +207,7 @@ def get_baseline_fps():
         return None
 
 
-def main():
-    fps, batch = bench_ours()
+def _emit(fps):
     baseline = get_baseline_fps()
     vs_baseline = (fps / baseline) if baseline else 1.0
     print(json.dumps({
@@ -217,6 +216,47 @@ def main():
         'unit': 'frames/s',
         'vs_baseline': round(vs_baseline, 3),
     }))
+
+
+def main():
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--mode', default=os.environ.get('RCFD_BENCH_MODE',
+                                                         'auto'),
+                        choices=['auto', 'scan', 'dispatch'])
+    args = parser.parse_args()
+
+    if args.mode in ('scan', 'dispatch'):
+        fps, _ = bench_ours(mode=args.mode)
+        _emit(fps)
+        return
+
+    # auto: try the honest device-throughput (scan) measurement in a
+    # watchdogged subprocess — its remote compile can stall for tens of
+    # minutes through this container's compile relay — and fall back to
+    # the robust dispatch-loop measurement (conservative: includes
+    # ~150 ms relay RPC per call) if it does not finish in time.
+    import subprocess
+    budget = float(os.environ.get('RCFD_BENCH_SCAN_BUDGET', '1200'))
+    try:
+        result = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--mode', 'scan'],
+            timeout=budget, capture_output=True, text=True, cwd=REPO)
+        if result.returncode == 0:
+            for line in result.stdout.strip().splitlines():
+                if line.startswith('{'):
+                    print(line)
+                    sys.stderr.write(result.stderr[-2000:])
+                    return
+        sys.stderr.write('[bench] scan subprocess failed; falling back\n')
+        sys.stderr.write(result.stderr[-2000:])
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            f'[bench] scan mode exceeded {budget:.0f}s budget; '
+            'falling back to dispatch mode\n')
+
+    fps, _ = bench_ours(mode='dispatch')
+    _emit(fps)
 
 
 if __name__ == '__main__':
