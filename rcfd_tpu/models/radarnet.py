@@ -142,13 +142,18 @@ class RadarNetModel:
         ckpt.save_torch_checkpoint(path, checkpoint)
 
     def restore_checkpoint(self, path: str):
-        if path.endswith('.orbax'):
-            trees, meta = ckpt.load_orbax_checkpoint(path)
-            return trees['params'], trees['state'], \
-                int(meta.get('train_step', 0)), None
-        if path.endswith('.npz'):
-            trees, meta = ckpt.load_native_checkpoint(path)
-            return trees['params'], trees['state'], meta.get('train_step', 0), None
+        if path.endswith('.orbax') or path.endswith('.npz'):
+            if path.endswith('.orbax'):
+                trees, meta = ckpt.load_orbax_checkpoint(path)
+            else:
+                trees, meta = ckpt.load_native_checkpoint(path)
+            # modules without buffers serialize as missing keys; conform to
+            # the model's template so the state tree has every node
+            tpl_p, tpl_s = jax.eval_shape(self.init, jax.random.PRNGKey(0))
+            params = ckpt.conform_to_template(tpl_p, trees['params'])
+            state = ckpt.conform_to_template(tpl_s, trees['state'],
+                                             fill_missing=True)
+            return params, state, int(meta.get('train_step', 0)), None
         checkpoint = ckpt.load_torch_checkpoint(path)
         enc_p, enc_s = ckpt.torch_state_dict_to_tree(
             checkpoint['radarnet_encoder_state_dict'])
