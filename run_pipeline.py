@@ -24,6 +24,28 @@ parser.add_argument('--image_path', type=str, required=True)
 parser.add_argument('--radar_path', type=str, required=True)
 parser.add_argument('--ground_truth_path', type=str, default=None)
 parser.add_argument('--patch_size', nargs='+', type=int, default=[900, 288])
+# Network settings (canonical defaults; override for non-standard nets)
+parser.add_argument('--radarnet_encoder_type', nargs='+', type=str,
+                    default=['radarnetv1', 'batch_norm'])
+parser.add_argument('--radarnet_n_filters_encoder_image', nargs='+', type=int,
+                    default=[32, 64, 128, 128, 128])
+parser.add_argument('--radarnet_n_neurons_encoder_depth', nargs='+', type=int,
+                    default=[32, 64, 128, 128, 128])
+parser.add_argument('--radarnet_n_filters_decoder', nargs='+', type=int,
+                    default=[256, 128, 64, 32, 16])
+parser.add_argument('--fusionnet_encoder_type', nargs='+', type=str,
+                    default=['fusionnet18', 'batch_norm'])
+parser.add_argument('--fusionnet_n_filters_encoder_image', nargs='+',
+                    type=int, default=[32, 64, 128, 256, 256, 256])
+parser.add_argument('--fusionnet_n_filters_encoder_depth', nargs='+',
+                    type=int, default=[16, 32, 64, 128, 128, 128])
+parser.add_argument('--fusion_type', type=str, default='weight_and_project')
+parser.add_argument('--fusionnet_n_filters_decoder', nargs='+', type=int,
+                    default=[256, 256, 128, 64, 64, 32])
+parser.add_argument('--min_predict_depth', type=float, default=1.0)
+parser.add_argument('--max_predict_depth', type=float, default=100.0)
+parser.add_argument('--bfloat16', action='store_true',
+                    help='bf16 serving (params cast once, f32 outputs)')
 parser.add_argument('--output_dirpath', type=str, required=True)
 parser.add_argument('--save_outputs', action='store_true')
 parser.add_argument('--keep_input_filenames', action='store_true')
@@ -52,10 +74,28 @@ def main():
         ground_truth_paths=gt_paths, max_points=args.max_points_inference)
 
     sample_image = data_utils.load_image(image_paths[0])
+    radarnet_kwargs = dict(
+        input_patch_size_image=tuple(args.patch_size),
+        encoder_type='-'.join(args.radarnet_encoder_type),
+        n_filters_encoder_image=args.radarnet_n_filters_encoder_image,
+        n_neurons_encoder_depth=args.radarnet_n_neurons_encoder_depth,
+        n_filters_decoder=args.radarnet_n_filters_decoder)
+    fusionnet_kwargs = dict(
+        encoder_type='-'.join(args.fusionnet_encoder_type),
+        n_filters_encoder_image=args.fusionnet_n_filters_encoder_image,
+        n_filters_encoder_depth=args.fusionnet_n_filters_encoder_depth,
+        fusion_type=args.fusion_type,
+        n_filters_decoder=args.fusionnet_n_filters_decoder,
+        min_predict_depth=args.min_predict_depth,
+        max_predict_depth=args.max_predict_depth)
     pipeline = TwoStagePipeline.from_checkpoints(
         args.radarnet_restore_path, args.fusionnet_restore_path,
         image_height=sample_image.shape[0], image_width=sample_image.shape[1],
-        patch_size=args.patch_size)
+        patch_size=args.patch_size,
+        radarnet_kwargs=radarnet_kwargs,
+        fusionnet_kwargs=fusionnet_kwargs,
+        optimize=True,
+        compute_dtype=jnp.bfloat16 if args.bfloat16 else None)
 
     if args.save_outputs:
         dirs = {name: os.path.join(args.output_dirpath, name)
