@@ -144,10 +144,17 @@ def conform_to_template(template, loaded, fill_missing: bool = False,
 # ---------------------------------------------------------------------------
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a reference .pth checkpoint into a dict of numpy structures."""
-    import torch  # host I/O only
-    ckpt = torch.load(path, map_location='cpu', weights_only=False)
-    return ckpt
+    """Load a reference .pth checkpoint into a dict of numpy structures.
+
+    Uses torch when available (host I/O only); otherwise falls back to the
+    torch-free zipfile/pickle reader (utils/torch_pickle.py), so released
+    reference checkpoints load in torch-free deployments."""
+    try:
+        import torch  # host I/O only
+        return torch.load(path, map_location='cpu', weights_only=False)
+    except ImportError:
+        from .torch_pickle import load_torch_zip
+        return load_torch_zip(path)
 
 
 def save_torch_checkpoint(path: str, checkpoint: Dict[str, Any]):
