@@ -43,14 +43,18 @@ def get_train_val_split_ids(split_dirpath, debug=False):
     return train_ids, val_ids
 
 
+def _build_nusc(dataroot, version):
+    """DB factory (separated so tests can substitute a fake DB)."""
+    from nuscenes.nuscenes import NuScenes
+    return NuScenes(version=version, dataroot=dataroot, verbose=False)
+
+
 def process_scene(args):
     """Process one scene: walk keyframes, save artifacts, return paths."""
     (scene_id, dataroot, version, output_dirpath, n_forward, n_backward,
      paths_only, panoptic_dirpath) = args
 
-    from nuscenes.nuscenes import NuScenes
-    nusc = NuScenes(version=version, dataroot=dataroot, verbose=False)
-
+    nusc = _build_nusc(dataroot, version)
     scene = nusc.scene[scene_id]
     sample_token = scene['first_sample_token']
 
