@@ -546,9 +546,13 @@ def run(restore_path,
         verbose=True,
         # Evaluation settings
         min_evaluate_depth=0.0,
-        max_evaluate_depth=100.0):
+        max_evaluate_depth=100.0,
+        eval_batch_size: int = 1):
     """Inference + evaluation over a manifest
-    (reference src/fusionnet_main.py:608-896)."""
+    (reference src/fusionnet_main.py:608-896).
+
+    eval_batch_size > 1 batches frames through one dispatch (identical
+    per-sample metrics; the reference evaluates one frame at a time)."""
 
     os.makedirs(output_dirpath, exist_ok=True)
     log_path = os.path.join(output_dirpath, 'results.txt')
@@ -611,48 +615,66 @@ def run(restore_path,
         imae = np.zeros(n_sample)
         irmse = np.zeros(n_sample)
 
-    for idx in range(n_sample):
-        data = dataset.get(idx)
-        if ground_truth_available:
-            image, depth, response, ground_truth = data
-        else:
-            image, depth, response = data
+    for start in range(0, n_sample, eval_batch_size):
+        idxs = list(range(start, min(start + eval_batch_size, n_sample)))
+        samples = [dataset.get(i) for i in idxs]
+        images = np.stack([s[0] for s in samples])
+        depths = np.stack([s[1] for s in samples])
+        responses = np.stack([s[2] for s in samples])
+        # pad the tail batch to the compiled batch size
+        n_real = len(idxs)
+        if n_real < eval_batch_size:
+            padn = eval_batch_size - n_real
+            images = np.concatenate([images, np.repeat(images[-1:], padn, 0)])
+            depths = np.concatenate([depths, np.repeat(depths[-1:], padn, 0)])
+            responses = np.concatenate(
+                [responses, np.repeat(responses[-1:], padn, 0)])
 
-        output_depth = forward_fn(
-            params, state, jnp.asarray(image)[None],
-            jnp.asarray(depth)[None], jnp.asarray(response)[None])
-        output_depth_fusion = np.asarray(output_depth)[0, :, :, 0]
+        outputs = np.asarray(forward_fn(
+            params, state, jnp.asarray(images), jnp.asarray(depths),
+            jnp.asarray(responses)))[:n_real, :, :, 0]
 
-        if verbose:
-            print('Processed {}/{} samples'.format(idx + 1, n_sample), end='\r')
-
-        if ground_truth_available:
-            gt = ground_truth[..., 0]
-            m = eval_utils.compute_all(output_depth_fusion, gt,
-                                       min_evaluate_depth, max_evaluate_depth)
-            mae[idx], rmse[idx] = m['mae'], m['rmse']
-            imae[idx], irmse[idx] = m['imae'], m['irmse']
-
-        if save_outputs:
-            if keep_input_filenames:
-                filename = os.path.splitext(
-                    os.path.basename(image_paths[idx]))[0] + '.png'
-            else:
-                filename = '{:010d}.png'.format(idx)
-            data_utils.save_image(
-                image / 255.0, os.path.join(output_dirs['image'], filename))
-            data_utils.save_depth(
-                output_depth_fusion,
-                os.path.join(output_dirs['output_depth_fusion'], filename))
-            data_utils.save_depth(
-                depth[..., 0],
-                os.path.join(output_dirs['output_depth_radar'], filename))
-            data_utils.save_response(
-                response[..., 0],
-                os.path.join(output_dirs['output_response_radar'], filename))
+        for j, idx in enumerate(idxs):
+            output_depth_fusion = outputs[j]
+            image, depth, response = samples[j][:3]
             if ground_truth_available:
+                ground_truth = samples[j][3]
+
+            if verbose:
+                print('Processed {}/{} samples'.format(idx + 1, n_sample),
+                      end='\r')
+
+            if ground_truth_available:
+                gt = ground_truth[..., 0]
+                m = eval_utils.compute_all(
+                    output_depth_fusion, gt, min_evaluate_depth,
+                    max_evaluate_depth)
+                mae[idx], rmse[idx] = m['mae'], m['rmse']
+                imae[idx], irmse[idx] = m['imae'], m['irmse']
+
+            if save_outputs:
+                if keep_input_filenames:
+                    filename = os.path.splitext(
+                        os.path.basename(image_paths[idx]))[0] + '.png'
+                else:
+                    filename = '{:010d}.png'.format(idx)
+                data_utils.save_image(
+                    image / 255.0,
+                    os.path.join(output_dirs['image'], filename))
                 data_utils.save_depth(
-                    gt, os.path.join(output_dirs['ground_truth'], filename))
+                    output_depth_fusion,
+                    os.path.join(output_dirs['output_depth_fusion'], filename))
+                data_utils.save_depth(
+                    depth[..., 0],
+                    os.path.join(output_dirs['output_depth_radar'], filename))
+                data_utils.save_response(
+                    response[..., 0],
+                    os.path.join(output_dirs['output_response_radar'],
+                                 filename))
+                if ground_truth_available:
+                    data_utils.save_depth(
+                        gt, os.path.join(output_dirs['ground_truth'],
+                                         filename))
 
     if ground_truth_available:
         log_evaluation_results(

@@ -43,6 +43,8 @@ parser.add_argument('--verbose', action='store_true')
 # Evaluation settings
 parser.add_argument('--min_evaluate_depth', type=float, default=0)
 parser.add_argument('--max_evaluate_depth', type=float, default=100)
+parser.add_argument('--eval_batch_size', type=int, default=1,
+                    help='Batch frames per dispatch (identical metrics)')
 
 
 if __name__ == '__main__':
@@ -75,4 +77,5 @@ if __name__ == '__main__':
         keep_input_filenames=args.keep_input_filenames,
         verbose=args.verbose,
         min_evaluate_depth=args.min_evaluate_depth,
-        max_evaluate_depth=args.max_evaluate_depth)
+        max_evaluate_depth=args.max_evaluate_depth,
+        eval_batch_size=args.eval_batch_size)

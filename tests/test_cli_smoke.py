@@ -168,3 +168,35 @@ def test_run_pipeline_cli(tmp_path):
     assert os.path.exists(os.path.join(out_dir, 'output_depth_fusion',
                                        '0000000000.png'))
     assert os.path.exists(os.path.join(out_dir, 'results.txt'))
+
+
+def test_run_fusionnet_cli_batched_eval_matches(tmp_path):
+    """eval_batch_size > 1 must produce identical metrics and outputs."""
+    from rcfd_tpu import fusionnet_main
+    from rcfd_tpu.models import FusionNetModel
+    manifests = make_fusionnet_fixture(str(tmp_path / 'data'), n_samples=3,
+                                       height=32, width=48)
+    model = FusionNetModel(**TINY_FUSION)
+    params, state = model.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / 'model-1.npz')
+    model.save_checkpoint(ckpt, params, state, step=1)
+
+    net = dict(TINY_FUSION)
+    net['n_resolutions_decoder'] = net.pop('n_resolution_decoder')
+    common = dict(
+        restore_path=ckpt,
+        image_path=manifests['image'],
+        depth_path=manifests['depth'],
+        response_path=manifests['response'],
+        ground_truth_path=manifests['ground_truth'],
+        weight_initializer='kaiming_uniform', activation_func='leaky_relu',
+        normalized_image_range=[0, 1],
+        save_outputs=False, keep_input_filenames=False, verbose=False,
+        min_evaluate_depth=0.0, max_evaluate_depth=80.0, **net)
+    # library-level to avoid two more subprocess compiles
+    r1 = fusionnet_main.run(output_dirpath=str(tmp_path / 'o1'),
+                            eval_batch_size=1, **common)
+    r2 = fusionnet_main.run(output_dirpath=str(tmp_path / 'o2'),
+                            eval_batch_size=2, **common)
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r2[k], rtol=1e-6)
