@@ -130,7 +130,14 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
     14-bit precision."""
     patch_size = model.input_patch_size_image
     pad = patch_size[1] // 2
-    use_pallas = os.environ.get('RCFD_PALLAS_SCATTER', '0') == '1'
+    env = os.environ.get('RCFD_PALLAS_SCATTER')
+    if env is not None:
+        use_pallas = env == '1'
+    else:
+        # default ON for TPU backends (1.68x over the XLA scatter); the
+        # depth maps are identical and responses match at the PNG codec's
+        # precision. CPU lacks compiled pallas -> XLA path.
+        use_pallas = jax.default_backend() in ('tpu', 'axon')
 
     @jax.jit
     def forward(params, state, image, points, valid):
@@ -151,7 +158,7 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
             box_height=image_height, training=False, return_logits=False)
         crops = responses[..., 0].astype(jnp.float32)  # (K, ph, pw)
 
-        if use_pallas:
+        if use_pallas and points.shape[0] <= 255:
             from .ops.scatter_pallas import scatter_quasi_dense_pallas
             depth_map, response_map = scatter_quasi_dense_pallas(
                 crops, x_shifted, points[:, 2], valid,
