@@ -172,18 +172,19 @@ class Transforms:
         images_arr = [self._normalize(im) for im in images_arr]
 
         if self.do_random_noise and points_arr:
+            k_gate2, *k_vals = jax.random.split(k_noise, 1 + len(points_arr))
             gate = jnp.logical_and(
                 do_transform,
-                jax.random.uniform(k_noise, (n_batch,)) <= 0.5)
+                jax.random.uniform(k_gate2, (n_batch,)) <= 0.5)
             new_points = []
-            for points in points_arr:
+            for points, kv in zip(points_arr, k_vals):
                 g = gate.reshape((-1,) + (1,) * (points.ndim - 1))
                 if self.random_noise_type == 'gaussian':
                     noise = self.random_noise_spread * jax.random.normal(
-                        k_noise, points.shape)
+                        kv, points.shape)
                 elif self.random_noise_type == 'uniform':
                     noise = self.random_noise_spread * (
-                        jax.random.uniform(k_noise, points.shape) - 0.5)
+                        jax.random.uniform(kv, points.shape) - 0.5)
                 else:
                     raise ValueError('Unsupported noise type: {}'.format(
                         self.random_noise_type))
