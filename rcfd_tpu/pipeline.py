@@ -98,11 +98,22 @@ class TwoStagePipeline:
             responses, _ = self.radarnet.apply(
                 rn_params, rn_state, image_pad, points_shifted, x1,
                 box_height=h, training=False, return_logits=False)
-            depth_map, response_map = scatter_quasi_dense(
-                responses[..., 0].astype(jnp.float32),
-                x_shifted.astype(jnp.float32),
-                points[:, 2].astype(jnp.float32), valid,
-                image_height=h, image_width=w, patch_size=patch_size)
+            crops = responses[..., 0].astype(jnp.float32)
+            xs = x_shifted.astype(jnp.float32)
+            zs = points[:, 2].astype(jnp.float32)
+            import os
+            env = os.environ.get('RCFD_PALLAS_SCATTER')
+            use_pallas = (env == '1') if env is not None else \
+                jax.default_backend() in ('tpu', 'axon')
+            if use_pallas and crops.shape[0] <= 255:
+                from .ops.scatter_pallas import scatter_quasi_dense_pallas
+                depth_map, response_map = scatter_quasi_dense_pallas(
+                    crops, xs, zs, valid, image_height=h, image_width=w,
+                    patch_size=patch_size)
+            else:
+                depth_map, response_map = scatter_quasi_dense(
+                    crops, xs, zs, valid, image_height=h, image_width=w,
+                    patch_size=patch_size)
 
             # ---- bridge (PNG codec emulation) --------------------------
             if quantize:
