@@ -10,6 +10,7 @@
 // Build: rcfd_tpu/native/build.py (g++ -O3 -shared -fPIC, links
 // libpng/libjpeg/libz).
 
+#include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -19,6 +20,22 @@
 
 #include <jpeglib.h>
 #include <png.h>
+
+// libjpeg's default error handler calls exit(); from a worker thread in
+// rcfd_batch_read that would abort the whole process on one corrupt JPEG.
+// Install a longjmp-based handler (the documented libjpeg recovery
+// pattern, mirroring the PNG setjmp paths) so bad files return an error.
+namespace {
+struct RcfdJpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jmp;
+};
+
+void rcfd_jpeg_error_exit(j_common_ptr cinfo) {
+  RcfdJpegErr* err = reinterpret_cast<RcfdJpegErr*>(cinfo->err);
+  longjmp(err->jmp, 1);
+}
+}  // namespace
 
 extern "C" {
 
@@ -160,8 +177,14 @@ int rcfd_image_probe(const char* path, int* out_h, int* out_w) {
   if (magic[0] == 0xFF && magic[1] == 0xD8) {  // JPEG
     FILE* f = fopen(path, "rb");
     jpeg_decompress_struct cinfo;
-    jpeg_error_mgr jerr;
-    cinfo.err = jpeg_std_error(&jerr);
+    RcfdJpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = rcfd_jpeg_error_exit;
+    if (setjmp(jerr.jmp)) {
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return -4;
+    }
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, f);
     jpeg_read_header(&cinfo, TRUE);
@@ -191,19 +214,27 @@ int rcfd_image_read_rgb(const char* path, float* out, int h, int w) {
 
   if (magic[0] == 0xFF && magic[1] == 0xD8) {  // JPEG
     jpeg_decompress_struct cinfo;
-    jpeg_error_mgr jerr;
-    cinfo.err = jpeg_std_error(&jerr);
+    RcfdJpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = rcfd_jpeg_error_exit;
+    // allocated before setjmp so the longjmp never skips its destructor
+    std::vector<unsigned char> row((size_t)w * 3);
+    if (setjmp(jerr.jmp)) {
+      jpeg_destroy_decompress(&cinfo);
+      fclose(fp);
+      return -6;
+    }
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, fp);
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = JCS_RGB;
     jpeg_start_decompress(&cinfo);
-    if ((int)cinfo.output_height != h || (int)cinfo.output_width != w) {
+    if ((int)cinfo.output_height != h || (int)cinfo.output_width != w ||
+        cinfo.output_components != 3) {
       jpeg_destroy_decompress(&cinfo);
       fclose(fp);
       return -3;
     }
-    std::vector<unsigned char> row((size_t)w * 3);
     unsigned char* rowp = row.data();
     while (cinfo.output_scanline < cinfo.output_height) {
       int y = cinfo.output_scanline;

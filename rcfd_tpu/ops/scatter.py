@@ -42,14 +42,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _legacy_rewrite(idx_map, response_map, z_values, n_points: int):
-    """Bit-exact emulation of the reference's index->z rewrite loop."""
+def _legacy_rewrite(idx_map, response_map, z_values, valid, n_points: int):
+    """Bit-exact emulation of the reference's index->z rewrite loop.
+
+    The reference loops over the N REAL points only; with padded point
+    sets the padding iterations must be skipped, otherwise a padding
+    point p (z=0) rewrites any pixel whose cascaded integer depth equals
+    p to 0. The `valid` gate reproduces the real-points-only loop.
+    """
     z_int = z_values.astype(jnp.int32)  # trunc toward zero (z > 0)
+    valid = valid.astype(jnp.bool_)
     # empty pixels have argmax 0 in the reference (max of all-zero tiles)
     m = jnp.where(response_map > 0, idx_map, 0).astype(jnp.int32)
 
     def body(p, m):
-        return jnp.where(m == p, z_int[p], m)
+        return jnp.where(valid[p] & (m == p), z_int[p], m)
 
     m = jax.lax.fori_loop(0, n_points, body, m)
     return jnp.where(response_map > 0, m.astype(response_map.dtype), 0.0)
@@ -104,7 +111,7 @@ def scatter_quasi_dense(response_crops, x_positions, z_values, valid,
     idx_map = idx_map.at[crop_top:, cols_c].min(candidate)
 
     if legacy_depth_semantics:
-        depth_map = _legacy_rewrite(idx_map, response_map, z_values, k)
+        depth_map = _legacy_rewrite(idx_map, response_map, z_values, valid, k)
     else:
         z_ext = jnp.concatenate([z_values.astype(response_crops.dtype),
                                  jnp.zeros((1,), response_crops.dtype)])

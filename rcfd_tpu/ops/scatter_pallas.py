@@ -117,7 +117,7 @@ def scatter_quasi_dense_pallas(response_crops, x_positions, z_values, valid,
 
     if legacy_depth_semantics:
         from .scatter import _legacy_rewrite
-        depth_rows = _legacy_rewrite(winner, response_q, z_values, k)
+        depth_rows = _legacy_rewrite(winner, response_q, z_values, valid, k)
     else:
         z_ext = jnp.concatenate([
             z_values.astype(jnp.float32),

@@ -23,6 +23,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -148,11 +149,21 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 
     Uses torch when available (host I/O only); otherwise falls back to the
     torch-free zipfile/pickle reader (utils/torch_pickle.py), so released
-    reference checkpoints load in torch-free deployments."""
+    reference checkpoints load in torch-free deployments.
+
+    Always loads with weights_only=True — reference checkpoints contain
+    only tensors/OrderedDicts, and a .pth is untrusted pickle input. If a
+    checkpoint needs globals outside torch's weights-only allowlist it is
+    retried with the hardened torch-free reader (closed allowlist) rather
+    than with arbitrary code execution enabled."""
     try:
         import torch  # host I/O only
-        return torch.load(path, map_location='cpu', weights_only=False)
     except ImportError:
+        from .torch_pickle import load_torch_zip
+        return load_torch_zip(path)
+    try:
+        return torch.load(path, map_location='cpu', weights_only=True)
+    except pickle.UnpicklingError:
         from .torch_pickle import load_torch_zip
         return load_torch_zip(path)
 

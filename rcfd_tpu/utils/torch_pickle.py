@@ -77,6 +77,12 @@ class _Unpickler(pickle.Unpickler):
         self._zf = zf
         self._prefix = prefix
 
+    # Closed allowlist: checkpoints contain only tensors / OrderedDicts /
+    # numpy scalars, so anything else (builtins, os, ...) is rejected —
+    # a .pth is untrusted input and must not reach arbitrary globals.
+    _NUMPY_ALLOWED = {'_reconstruct', 'scalar', 'ndarray', 'dtype',
+                      '_frombuffer'}
+
     def find_class(self, module, name):
         if module == 'torch._utils':
             if name == '_rebuild_tensor_v2':
@@ -89,12 +95,12 @@ class _Unpickler(pickle.Unpickler):
             return tuple
         if module == 'collections' and name == 'OrderedDict':
             return OrderedDict
-        if module in ('numpy', 'numpy.core.multiarray', 'numpy._core.multiarray'):
+        if (module in ('numpy', 'numpy.core.multiarray',
+                       'numpy._core.multiarray')
+                and name in self._NUMPY_ALLOWED):
             return super().find_class(module, name)
-        if module.startswith('torch'):
-            raise pickle.UnpicklingError(
-                f'unsupported torch object in checkpoint: {module}.{name}')
-        return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f'blocked global in checkpoint pickle: {module}.{name}')
 
     def persistent_load(self, pid):
         kind, storage_type, key, location, numel = pid

@@ -3,8 +3,9 @@ nuScenes DB (TPU-native port of reference setup/setup_dataset_nuscenes.py).
 
 Per keyframe of every scene:
   - single-scan lidar depth PNG            -> lidar/
-  - +-N-frame merged radar points (N x 3)  -> radar_points/ (and the
-    single-frame variant -> radar_points_reprojected/)
+  - single-frame radar points (N x 3)      -> radar_points/ (and the
+    +-N-frame accumulated merge -> radar_points_reprojected/, matching
+    reference setup/setup_dataset_nuscenes.py:1025-1037,1083-1084)
   - +-N-frame merged, mover-filtered lidar -> ground_truth/
   - Delaunay-interpolated dense GT         -> ground_truth_interp/
 plus newline-delimited path manifests (train/val split with ::2 val
@@ -93,18 +94,22 @@ def process_scene(args):
                 nusc, lidar_token, camera_token, 'lidar')
             data_utils.save_depth(lidar_depth, lidar_path)
 
-            # single-frame radar (image-plane x, y + metric z)
+            # single-frame radar (image-plane x, y + metric z) -> the
+            # radar_points/ stream RadarNet trains/infers on (reference
+            # setup/setup_dataset_nuscenes.py:1032-1037 saves the n=0
+            # merge to radar_points_path at :1084)
             radar_xy_single, radar_z_single = adapter.merge_point_clouds(
                 nusc, sample_token, n_forward=0, n_backward=0, sensor='radar')
-            np.save(radar_reproj_path,
+            np.save(radar_path,
                     np.stack([radar_xy_single[0], radar_xy_single[1],
                               radar_z_single], axis=-1))
 
-            # multi-frame accumulated radar
+            # +-N-frame accumulated radar -> radar_points_reprojected/
+            # (reference :1025-1030 saved at :1083)
             radar_xy, radar_z = adapter.merge_point_clouds(
                 nusc, sample_token, n_forward=n_forward,
                 n_backward=n_backward, sensor='radar')
-            np.save(radar_path,
+            np.save(radar_reproj_path,
                     np.stack([radar_xy[0], radar_xy[1], radar_z], axis=-1))
 
             # multi-frame merged lidar ground truth (mover-filtered)

@@ -67,16 +67,21 @@ def process_scene(args):
                 nusc, lidar_token, camera_token, 'lidar')
             data_utils.save_depth(lidar_depth, out['lidar'])
 
+            # radar_points/ = single-frame, radar_points_reprojected/ =
+            # full +-N keyframe accumulation (reference
+            # setup_dataset_nuscenes_with_denseGT.py:1016-1029,1076-1077;
+            # its merge_radar_point_clouds at :601 walks keyframes with
+            # the full n_forward/n_backward)
             radar_xy_single, radar_z_single = adapter.merge_point_clouds(
                 nusc, sample_token, 0, 0, sensor='radar')
-            np.save(out['radar_points_reprojected'],
+            np.save(out['radar_points'],
                     np.stack([radar_xy_single[0], radar_xy_single[1],
                               radar_z_single], axis=-1))
 
             radar_xy, radar_z = adapter.merge_point_clouds(
-                nusc, sample_token, n_forward=min(n_forward, 6),
-                n_backward=min(n_backward, 6), sensor='radar')
-            np.save(out['radar_points'],
+                nusc, sample_token, n_forward=n_forward,
+                n_backward=n_backward, sensor='radar')
+            np.save(out['radar_points_reprojected'],
                     np.stack([radar_xy[0], radar_xy[1], radar_z], axis=-1))
 
             gt_xy, gt_z = adapter.merge_lidar_sweeps_dense(

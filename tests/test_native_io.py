@@ -63,6 +63,28 @@ def test_image_decode_jpeg(tmp_path, rng):
     assert np.abs(nat - pil).max() <= 16.0
 
 
+def test_corrupt_jpeg_returns_error_not_abort(tmp_path, rng):
+    """libjpeg's default error handler calls exit(); the custom
+    error_exit must turn a truncated JPEG into an IOError (from any
+    rcfd_batch_read worker thread) instead of killing the process."""
+    from PIL import Image
+    good = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    good_path = str(tmp_path / 'good.jpg')
+    Image.fromarray(good).save(good_path, quality=95)
+    bad_path = str(tmp_path / 'bad.jpg')
+    with open(bad_path, 'wb') as f:
+        f.write(b'\xff\xd8\xff\xe0' + b'\x00' * 64)  # truncated JPEG
+
+    with pytest.raises(IOError):
+        native.read_image(bad_path)
+    with pytest.raises(IOError):
+        native.batch_read_images([good_path, bad_path, good_path], 16, 16,
+                                 n_threads=3)
+    # the library stays usable afterwards
+    np.testing.assert_array_equal(native.read_image(good_path).shape,
+                                  (16, 16, 3))
+
+
 def test_batch_read_depth(tmp_path, rng):
     paths = []
     ref = []

@@ -144,6 +144,34 @@ def test_scatter_padded_points_are_ignored():
     assert np.any(d == 5.0)
 
 
+def test_scatter_legacy_rewrite_skips_padding_points():
+    """Regression: with legacy_depth_semantics=True the index->z rewrite
+    must loop over REAL points only. A z=0 padding point p used to
+    rewrite any pixel whose cascaded integer depth equaled p back to 0
+    (1 valid point z=5.7 padded to K=8 yielded an all-zero depth map)."""
+    ph, pw, h, w = 4, 4, 8, 12
+    pad = pw // 2
+    k = 8
+    crops = np.zeros((k, ph, pw), np.float32)
+    crops[0] = 0.9
+    x = np.full((k,), 4 + pad, np.float32)
+    z = np.zeros((k,), np.float32)
+    z[0] = 5.7  # int-truncates to 5 == index of a padding point
+    valid = np.zeros((k,), bool)
+    valid[0] = True
+    d, r = scatter_quasi_dense(
+        jnp.asarray(crops), jnp.asarray(x), jnp.asarray(z),
+        jnp.asarray(valid), h, w, (ph, pw), legacy_depth_semantics=True)
+    d = np.asarray(d)
+    assert np.any(d == 5.0), 'padding point cascade zeroed the depth map'
+    assert set(np.unique(d)) <= {0.0, 5.0}
+
+    # must equal the reference loop run over just the real point
+    ref_d, ref_r = _reference_scatter(crops[:1], x[:1], z[:1], h, w,
+                                      legacy=True)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-6, atol=1e-6)
+
+
 def test_scatter_threshold_zeroes_low_response():
     ph, pw, h, w = 4, 4, 8, 12
     pad = pw // 2

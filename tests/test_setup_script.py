@@ -73,12 +73,18 @@ def test_process_scene_artifacts(patched):
     gt0 = data_utils.load_depth(paths['ground_truth'][0])
     assert (gt0 > 0).sum() == 4
 
-    # radar npy: (N, 3) image-plane points; the ±1-frame merge also has 4
+    # Stream semantics must match the reference
+    # (setup/setup_dataset_nuscenes.py:1025-1037,1083-1084):
+    # radar_points/ holds the SINGLE-FRAME projection (what RadarNet
+    # trains/infers on), radar_points_reprojected/ the ±N accumulation.
     radar0 = np.load(paths['radar_points'][0])
     assert radar0.shape[1] == 3
-    assert radar0.shape[0] == 4
-    single0 = np.load(paths['radar_points_reprojected'][0])
-    assert single0.shape[0] == len(POINTS_FRAME0)
+    assert radar0.shape[0] == len(POINTS_FRAME0)  # frame-0 returns only
+    merged0 = np.load(paths['radar_points_reprojected'][0])
+    assert merged0.shape[1] == 3
+    assert merged0.shape[0] == 4  # ±1-frame merge accumulates a neighbor
+    # accumulation must add points over the single-frame stream
+    assert merged0.shape[0] > radar0.shape[0]
 
 
 def test_process_scene_paths_only(patched):

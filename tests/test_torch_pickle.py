@@ -60,6 +60,31 @@ def test_reads_bfloat16(tmp_path, rng):
     np.testing.assert_array_equal(loaded['t'], t.float().numpy())
 
 
+def test_blocks_malicious_globals(tmp_path):
+    """The torch-free reader must reject any global outside the closed
+    allowlist — a crafted .pth must not reach os.system/builtins.eval."""
+    import pickle
+    import zipfile
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ('true',))
+
+    path = str(tmp_path / 'evil.pth')
+    with zipfile.ZipFile(path, 'w') as zf:
+        zf.writestr('archive/data.pkl', pickle.dumps({'payload': Evil()}))
+        zf.writestr('archive/version', '3')
+
+    with pytest.raises(pickle.UnpicklingError, match='blocked global'):
+        load_torch_zip(path)
+
+    # and the public loader must not fall back to unsafe torch.load either
+    from rcfd_tpu.utils.checkpoint import load_torch_checkpoint
+    with pytest.raises(pickle.UnpicklingError):
+        load_torch_checkpoint(path)
+
+
 def test_full_model_checkpoint_roundtrip_without_torch(tmp_path, rng):
     """A reference-format model checkpoint loads through the torch-free
     path with identical forward results."""
