@@ -87,6 +87,21 @@ def test_process_scene_artifacts(patched):
     assert merged0.shape[0] > radar0.shape[0]
 
 
+def test_official_data_split_ships_in_tree():
+    """The official 700/150 scene-id split (the experiment contract the
+    reference ships in data_split/) must resolve from the setup scripts'
+    default --data_split_dirpath."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    split_dir = os.path.join(repo_root, 'data_split')
+    train_ids, val_ids = setup_script.get_train_val_split_ids(split_dir)
+    assert len(train_ids) == 700
+    assert len(val_ids) == 150
+    ids = list(train_ids) + list(val_ids)
+    assert not set(train_ids) & set(val_ids)
+    assert min(ids) >= 0 and max(ids) <= 849
+    assert all(isinstance(i, int) for i in ids)
+
+
 def test_process_scene_paths_only(patched):
     nusc, out_dir = patched
     _, paths = setup_script.process_scene(
