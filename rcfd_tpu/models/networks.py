@@ -405,6 +405,7 @@ class MultiScaleDecoder(Module):
         self.n_resolution = n_resolution
         self.output_func = output_func
         self.network_depth = network_depth
+        self.deconv_type = deconv_type
         act = F.activation_fn(activation_func)
         out_act = F.activation_fn(output_func)
 
@@ -557,13 +558,46 @@ class MultiScaleDecoder(Module):
                 skip = (jnp.concatenate([skips[n], upsample_output1], axis=-1)
                         if n == 0 else upsample_output1)
                 layers.append(run('deconv0', layers[-1], skip=skip))
+                output0 = run_conv('output0', layers[-1])
             else:
                 if n == 0:
-                    layers.append(run('deconv0', layers[-1], skip=skips[n]))
+                    target = skips[n].shape[1:3]
                 else:
-                    layers.append(run('deconv0', layers[-1],
-                                      out_shape=shape[-2:] if shape is not None else None))
-            output0 = run_conv('output0', layers[-1])
+                    target = tuple(shape[-2:]) if shape is not None else \
+                        (2 * layers[-1].shape[1], 2 * layers[-1].shape[2])
+                if self._packed_tail_ok(layers[-1], target, training):
+                    from ..ops.packed_tail import packed_decoder_tail
+                    output0 = packed_decoder_tail(
+                        layers[-1], self.children['deconv0'],
+                        self.children['output0'], params, state)
+                    new_state['deconv0'] = state['deconv0']
+                    new_state['output0'] = state['output0']
+                else:
+                    if n == 0:
+                        layers.append(run('deconv0', layers[-1],
+                                          skip=skips[n]))
+                    else:
+                        layers.append(run(
+                            'deconv0', layers[-1],
+                            out_shape=shape[-2:] if shape is not None
+                            else None))
+                    output0 = run_conv('output0', layers[-1])
 
         outputs.append(output0)
         return outputs, new_state
+
+    def _packed_tail_ok(self, x, target, training) -> bool:
+        """The phase-packed tail (ops/packed_tail.py) applies to the
+        canonical inference tail: 'up' deconv0 without a skip concat,
+        3x3 output conv, exact x2 upsample to even dims."""
+        import os
+        if os.environ.get('RCFD_PACKED_TAIL', '1') == '0':
+            return False
+        if training or self.deconv_type != 'up':
+            return False
+        if self.children['deconv0'].skip_channels != 0:
+            return False
+        if self.children['output0'].kernel_size != 3 or \
+                self.children['output0'].stride != 1:
+            return False
+        return tuple(target) == (2 * x.shape[1], 2 * x.shape[2])

@@ -1,0 +1,152 @@
+"""Phase-packed (space-to-depth) decoder tail.
+
+The canonical decoders (reference src/networks.py:1595-1657) end with
+  deconv0 : nearest-upsample x2 -> conv3x3 (C -> Co) -> conv3x3 (Co -> Co)
+  output0 : conv3x3 (Co -> 1)
+all at FULL resolution (900x1600 for FusionNet frames, 900x288 per-point
+patches for RadarNet). With Co = 16..32 channels these stages underfill the
+128-lane MXU 4-8x and pad every full-res HBM buffer to 128 lanes — they
+dominate the frame time (stagebench: deconv0 = 10.1 ms of a 19.8 ms frame).
+
+This module evaluates the SAME math entirely at half resolution by packing
+the four output phases (dy, dx) in {0,1}^2 into the channel dimension:
+
+  up-conv:  y[2i+dy, 2j+dx] = sum_{u,v} W[u,v] x[floor((2i+dy+u-1)/2), ...]
+            == a 3x3 conv over x with kernel K[p,q, ci, (dy,dx,co)] formed
+            by summing W rows/cols that alias to the same half-res tap
+            (dy=0: p=-1 <- u=0, p=0 <- u=1+u=2; dy=1: p=0 <- u=0+1, p=1 <- u=2).
+  full-res conv3x3 on a phase-packed tensor: row index 2i+dy+u-1 =
+            2(i+p)+dy' with (p,dy') = divmod(dy+u-1, 2) — one packed tap per
+            (dy,u) — giving a 3x3 conv with a block-structured
+            (4Ci -> 4Co) kernel.
+  output:   same, Co=1 -> 4 phase channels, then depth-to-space.
+
+Every intermediate is (H/2, W/2, 4C): full 128 lanes for C=32, no full-res
+buffer until the final 1-channel depth-to-space. The results are exact up
+to float reassociation (kernel taps that alias are summed in f32 before
+the conv instead of accumulated inside it).
+
+Requires: even output H,W == 2x input, stride-1 3x3 convs, zero padding —
+exactly the deconv0/output0 structure (the phase algebra maps full-res
+zero-padding onto half-res zero-padding exactly when dims are even).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..nn import functional as F
+
+# Row/col aliasing matrices: K^{phase}[p] = sum_u M[phase][p, u] W[u]
+_M = (
+    np.array([[1., 0., 0.], [0., 1., 1.], [0., 0., 0.]], np.float32),  # d=0
+    np.array([[0., 0., 0.], [1., 1., 0.], [0., 0., 1.]], np.float32),  # d=1
+)
+
+
+def pack_upconv_kernel(w):
+    """(3,3,Ci,Co) kernel of [nearest-up x2 -> conv3x3] -> packed
+    (3,3,Ci,4Co) kernel over the half-res input. Output channel index is
+    (dy*2+dx)*Co + co."""
+    wf = w.astype(jnp.float32)
+    phases = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            phases.append(jnp.einsum(
+                'pu,qv,uvio->pqio',
+                jnp.asarray(_M[dy]), jnp.asarray(_M[dx]), wf))
+    k = jnp.stack(phases, axis=-2)  # (3,3,Ci,4,Co)
+    return k.reshape(3, 3, w.shape[2], 4 * w.shape[3]).astype(w.dtype)
+
+
+def pack_fullres_kernel(v):
+    """(3,3,Ci,Co) kernel of a stride-1 full-res conv3x3 -> packed
+    (3,3,4Ci,4Co) kernel over a phase-packed tensor. Channel index
+    (d_y*2+d_x)*C + c on both sides."""
+    ci, co = v.shape[2], v.shape[3]
+    t = jnp.zeros((3, 3, 2, 2, ci, 2, 2, co), v.dtype)
+    for dy in (0, 1):
+        for u in range(3):
+            p, dyp = divmod(dy + u - 1, 2)
+            for dx in (0, 1):
+                for vv in range(3):
+                    q, dxp = divmod(dx + vv - 1, 2)
+                    t = t.at[p + 1, q + 1, dyp, dxp, :, dy, dx, :].set(
+                        v[u, vv])
+    # (p,q, dy',dx',ci, dy,dx,co) -> (3,3, 4Ci, 4Co)
+    return t.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def _tile_bias(b):
+    return jnp.reshape(jnp.broadcast_to(b, (4,) + b.shape), (-1,))
+
+
+def depth_to_space(y, co: int):
+    """(N,I,J,4*co) phase-packed -> (N,2I,2J,co)."""
+    n, i, j = y.shape[:3]
+    y = y.reshape(n, i, j, 2, 2, co)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+    return y.reshape(n, 2 * i, 2 * j, co)
+
+
+def effective_conv(conv_module, params, state):
+    """Effective (weight, bias) of a Conv2d with eval-mode BN folded
+    in-graph (also handles already-folded params, where 'bias' exists and
+    'batch_norm' is gone)."""
+    w = params['conv']['weight']
+    co = w.shape[-1]
+    b = params['conv'].get('bias')
+    b = jnp.zeros((co,), jnp.float32) if b is None else b.astype(jnp.float32)
+    if conv_module.bn is not None and 'batch_norm' in params:
+        bn_p, bn_s = params['batch_norm'], state['batch_norm']
+        s = bn_p['weight'].astype(jnp.float32) / jnp.sqrt(
+            bn_s['running_var'].astype(jnp.float32) + conv_module.bn.eps)
+        w = (w.astype(jnp.float32) * s).astype(w.dtype)
+        b = (b - bn_s['running_mean'].astype(jnp.float32)) * s + \
+            bn_p['bias'].astype(jnp.float32)
+    return w, b
+
+
+def packed_decoder_tail(x, deconv0, output0, params, state):
+    """Evaluate deconv0 (no skip concat) + output0 at half resolution.
+
+    Arg(s):
+        x : (N, I, J, C) input to deconv0 (half the output resolution)
+        deconv0 : DecoderBlock module (deconv_type 'up', skip_channels 0)
+        output0 : Conv2d module (3x3, stride 1)
+        params/state : decoder params/state dicts (keys 'deconv0','output0')
+    Returns:
+        (N, 2I, 2J, output0.out_channels) — identical to the unpacked path
+        up to float reassociation.
+    """
+    up_conv = deconv0.deconv.conv          # Conv2d inside UpConv2d
+    mid_conv = deconv0.conv
+    w_up, b_up = effective_conv(up_conv, params['deconv0']['deconv']['conv'],
+                                state['deconv0']['deconv']['conv'])
+    w_mid, b_mid = effective_conv(mid_conv, params['deconv0']['conv'],
+                                  state['deconv0']['conv'])
+    w_out, b_out = effective_conv(output0, params['output0'],
+                                  state['output0'])
+
+    act_up = up_conv.activation
+    act_mid = mid_conv.activation
+    act_out = output0.activation
+
+    y = F.conv2d(x, pack_upconv_kernel(w_up), stride=1)
+    y = y + _tile_bias(b_up).astype(y.dtype)
+    if act_up is not None:
+        y = act_up(y)
+
+    y = F.conv2d(y, pack_fullres_kernel(w_mid), stride=1)
+    y = y + _tile_bias(b_mid).astype(y.dtype)
+    if act_mid is not None:
+        y = act_mid(y)
+
+    y = F.conv2d(y, pack_fullres_kernel(w_out), stride=1)
+    y = y + _tile_bias(b_out).astype(y.dtype)
+    if act_out is not None:
+        y = act_out(y)
+
+    return depth_to_space(y, w_out.shape[-1])
