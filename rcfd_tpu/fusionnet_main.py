@@ -211,6 +211,8 @@ def train(train_image_path,
           seed: int = 0):
     """Training loop (reference src/fusionnet_main.py:13-474)."""
 
+    _apply_device_preference(device)
+
     if not os.path.exists(checkpoint_dirpath):
         os.makedirs(checkpoint_dirpath)
 
@@ -464,6 +466,22 @@ def _export_opt(params, opt_state, lr, weight_decay):
         return {}
 
 
+def _apply_device_preference(device: str):
+    """Honor the --device flag (reference runs torch .to(device); here it
+    selects the JAX default device). 'tpu' (or 'cuda'/'gpu') means the
+    accelerator backend JAX initialized with; 'cpu' forces host execution."""
+    if device is None:
+        return
+    device = str(device).lower()
+    if device in ('tpu', 'gpu', 'cuda', ''):
+        return  # the accelerator backend is already the default
+    if device == 'cpu':
+        cpus = jax.devices('cpu')
+        jax.config.update('jax_default_device', cpus[0])
+    else:
+        raise ValueError('unsupported device: {}'.format(device))
+
+
 def validate(model, params, state, forward_fn, dataset, step, best_results,
              min_evaluate_depth, max_evaluate_depth, summary_writer,
              log_path=None):
@@ -482,6 +500,25 @@ def validate(model, params, state, forward_fn, dataset, step, best_results,
             jnp.asarray(response)[None])
         output_depth = np.asarray(output_depth)[0, :, :, 0]
         gt = ground_truth[..., 0]
+
+        # validation image panel for the first sample (the reference also
+        # logs image/depth/output/gt montages during validation,
+        # src/fusionnet_main.py:550-560)
+        if idx == 0 and summary_writer is not None and \
+                getattr(summary_writer, '_writer', None) is not None:
+            try:
+                from .utils.log_utils import colorize
+                panel = np.concatenate([
+                    np.clip(image / 255.0, 0.0, 1.0),
+                    colorize(depth[None, ..., 0] / 100.0, 'viridis')[0],
+                    colorize(output_depth[None] / 100.0, 'viridis')[0],
+                    colorize(gt[None] / 100.0, 'viridis')[0],
+                ], axis=0)
+                summary_writer.add_image(
+                    'val-image-input_depth-output_depth-ground_truth',
+                    panel, global_step=step)
+            except Exception:
+                pass
 
         m = eval_utils.compute_all(output_depth, gt, min_evaluate_depth,
                                    max_evaluate_depth)

@@ -104,6 +104,37 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
     roi_end_w = _round_half_away((x1f + box_width) * spatial_scale).astype(jnp.int32)
     roi_width = jnp.maximum(roi_end_w - roi_start_w + 1, 1)  # (N, K)
 
+    # Constant-bin fast path: when box_width * scale is an integer equal to
+    # pooled_w (true for skip scales 1/2 .. 1/32 of the 288-wide patch),
+    # round(x*s + bw*s) - round(x*s) == bw*s for EVERY x, so
+    # roi_width == pooled_w + 1 always and torchvision's bin j is exactly
+    # [j, j+2) for all boxes: floor(j*(pw+1)/pw) = j and
+    # ceil((j+1)*(pw+1)/pw) = j+2 on j in [0, pw). Pooling then factors
+    # into a box-independent sliding 2-tap max G over columns followed by
+    # a contiguous per-box crop G[:, s_k : s_k + pw] — no per-bin gather.
+    bw_scaled = box_width * spatial_scale
+    if float(bw_scaled).is_integer() and pooled_w == int(bw_scaled):
+        neg_inf = jnp.array(-jnp.inf, rows.dtype)
+        # right tap: rows[:, w+1], -inf past the map (torchvision clips
+        # wend to w_f; a 1-tap bin at the edge keeps rows[:, w_f-1])
+        right = jnp.concatenate(
+            [rows[:, :, 1:], jnp.full_like(rows[:, :, :1], neg_inf)], axis=2)
+        g = jnp.maximum(rows, right)
+        # -inf past w_f so bins fully beyond the map give 0 like empty bins
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pooled_w), (0, 0)),
+                    constant_values=neg_inf)
+        start = jnp.clip(roi_start_w, 0, w_f)
+
+        def window_one(g_n, s_k):
+            return jax.lax.dynamic_slice(
+                g_n, (0, s_k, 0), (pooled_h, pooled_w, c))
+
+        pooled = jax.vmap(
+            lambda gn, sk: jax.vmap(lambda s_: window_one(gn, s_))(sk)
+        )(g, start)  # (N, K, ph, pw, C)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0).astype(rows.dtype)
+        return pooled.reshape(n * k, pooled_h, pooled_w, c)
+
     # Static upper bound on bin width: roi_width <= ceil(W*s) + 2
     max_roi_w = int(math.ceil(box_width * spatial_scale)) + 2
     max_bin_w = int(math.ceil(max_roi_w / pooled_w)) + 1
@@ -130,16 +161,29 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
     # of the map degrade to empty bins -> 0 like torchvision).
     shifts = (max_roi_w - pooled_w) + max_bin_w
     win = pooled_w + shifts
-    rows_p = jnp.pad(rows, ((0, 0), (0, 0), (0, win), (0, 0)))
     start = jnp.minimum(roi_start_w, w_f)  # (N, K)
 
-    def window_one(rows_n, s_k):
-        return jax.lax.dynamic_slice(
-            rows_n, (0, s_k, 0), (pooled_h, win, c))
+    import os
+    env = os.environ.get('RCFD_PALLAS_CROP')
+    use_pallas = (env == '1') if env is not None else \
+        jax.default_backend() in ('tpu', 'axon')
+    if use_pallas:
+        # block-DMA window extraction (XLA lowers the vmapped
+        # dynamic_slice below to a serialized element gather, 10-16 ms
+        # for the 1/2-scale skip; the kernel is ~bandwidth-bound)
+        from .crop_pallas import batch_column_crop
+        windows = jnp.stack([
+            batch_column_crop(rows[i], start[i], win) for i in range(n)])
+    else:
+        rows_p = jnp.pad(rows, ((0, 0), (0, 0), (0, win), (0, 0)))
 
-    windows = jax.vmap(
-        lambda rn, sk: jax.vmap(lambda s_: window_one(rn, s_))(sk)
-    )(rows_p, start)  # (N, K, ph, win, C)
+        def window_one(rows_n, s_k):
+            return jax.lax.dynamic_slice(
+                rows_n, (0, s_k, 0), (pooled_h, win, c))
+
+        windows = jax.vmap(
+            lambda rn, sk: jax.vmap(lambda s_: window_one(rn, s_))(sk)
+        )(rows_p, start)  # (N, K, ph, win, C)
 
     ws_l = wstart - start[..., None]  # (N, K, pw), >= j by construction
     we_l = wend - start[..., None]

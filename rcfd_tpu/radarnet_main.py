@@ -118,6 +118,99 @@ def _make_train_step(model: RadarNetModel,
     return step
 
 
+def _make_summary_forward(model: RadarNetModel, transforms: Transforms,
+                          patch_size: Tuple[int, int],
+                          max_distance_correspondence: float,
+                          n_display: int = 4):
+    """Jitted forward returning the display tensors for TB image panels
+    (reference src/radarnet_model.py:268-477): per-patch image crop,
+    response, thresholded output label, GT label, validity."""
+    ph, pw = patch_size
+
+    @jax.jit
+    def summary_tensors(params, state, batch, key):
+        image, radar_points, bounding_boxes, ground_truth = batch
+        (image_t,) = transforms.transform(
+            key, [image], random_transform_probability=0.0)
+        b, k = radar_points.shape[0], radar_points.shape[1]
+        n = min(n_display, b * k)
+        points_flat = radar_points.reshape(b * k, radar_points.shape[2])[:n]
+        gt_flat = ground_truth.reshape(
+            b * k, *ground_truth.shape[2:])[:n]
+        x1 = bounding_boxes[..., 0].reshape(b * k)[:n]
+
+        radar_depth = points_flat[:, 2].reshape(n, 1, 1, 1)
+        distance = jnp.abs(gt_flat - radar_depth)
+        label = jnp.where(distance < max_distance_correspondence, 1.0, 0.0)
+        label = jnp.where(gt_flat > 0, label, 0.0)
+        validity = jnp.where(gt_flat > 0, 1.0, 0.0)
+
+        # display images come from the owning batch sample
+        sample_idx = jnp.arange(n) // k
+        crop_top = image_t.shape[1] - ph
+
+        def crop_one(si, x):
+            return jax.lax.dynamic_slice(
+                image_t[si], (crop_top, x.astype(jnp.int32), 0),
+                (ph, pw, 3))
+
+        image_crops = jax.vmap(crop_one)(sample_idx, x1)
+
+        response, _ = model.apply(
+            params, state, image_t,
+            radar_points.reshape(b * k, -1),
+            bounding_boxes[..., 0], box_height=ph, training=False,
+            return_logits=False)
+        response = response[:n]
+        return {
+            'image': image_crops,
+            'response': response,
+            'output_label': jnp.where(response > 0.5, 1.0, 0.0),
+            'ground_truth_label': label,
+            'validity_map': validity,
+        }
+
+    return summary_tensors
+
+
+def _log_image_summary(writer, tag, step, tensors):
+    """Colorized montage (image | response | output label | label error |
+    gt label | validity) x n_display + distributions, mirroring reference
+    src/radarnet_model.py:268-477. Best-effort when TB is unavailable."""
+    if writer is None or getattr(writer, '_writer', None) is None:
+        return
+    try:
+        from .utils.log_utils import colorize
+        t = {k: np.asarray(v) for k, v in tensors.items()}
+        out_label = t['output_label']
+        gt_label = t['ground_truth_label']
+        label_valid = (gt_label > 0).astype(np.float32)
+        error = np.abs(out_label - gt_label)
+        error = np.where(label_valid == 1.0,
+                         (error + 1e-8) / (gt_label + 1e-8), label_valid)
+        rows = [
+            np.clip(t['image'], 0.0, 1.0),
+            colorize(t['response'], 'inferno'),
+            colorize(out_label, 'inferno'),
+            colorize(error, 'inferno'),
+            colorize(gt_label, 'inferno'),
+            colorize(t['validity_map'], 'inferno'),
+        ]
+        panel = np.concatenate(
+            [np.concatenate(list(r), axis=1) for r in rows], axis=0)
+        writer.add_image(
+            tag + '-image-output_response-output_label-error-'
+            'ground_truth_label-validity_map', panel, global_step=step)
+        writer.add_histogram(tag + '-output_response_distro', t['response'],
+                             global_step=step)
+        writer.add_histogram(tag + '-output_label_distro', out_label,
+                             global_step=step)
+        writer.add_histogram(tag + '_ground_truth_label_distro', gt_label,
+                             global_step=step)
+    except Exception:
+        pass
+
+
 def make_forward_fn(model: RadarNetModel, transforms: Transforms,
                     image_height: int, image_width: int,
                     threshold: float = 0.5):
@@ -349,6 +442,9 @@ def train(train_image_path,
         image_height, image_width = 900, 1600
     forward_fn = make_forward_fn(model, val_transforms, image_height,
                                  image_width)
+    summary_forward = _make_summary_forward(
+        model, val_transforms, tuple(patch_size),
+        max_distance_correspondence)
 
     train_summary_writer = SummaryWriter(event_path + '-train')
     val_summary_writer = SummaryWriter(event_path + '-val')
@@ -395,6 +491,10 @@ def train(train_image_path,
                 for name, value in loss_info.items():
                     train_summary_writer.add_scalar(
                         'train-' + name, float(value), global_step=train_step)
+                if getattr(train_summary_writer, '_writer', None) is not None:
+                    _log_image_summary(
+                        train_summary_writer, 'train', train_step,
+                        summary_forward(params, state, batch, step_key))
 
             if (train_step % n_step_per_checkpoint) == 0:
                 loss_val = float(loss_info['loss'])
@@ -452,6 +552,25 @@ def validate(model, params, state, forward_fn, dataset, step, best_results,
             jnp.asarray(valid))
         output_depth = np.asarray(depth_map)
         gt = ground_truth[..., 0]
+
+        # validation image panel for the first sample (reference logs
+        # colorized response/depth/gt montages during validate,
+        # src/radarnet_main.py:668-702)
+        if idx == 0 and summary_writer is not None and \
+                getattr(summary_writer, '_writer', None) is not None:
+            try:
+                from .utils.log_utils import colorize
+                panel = np.concatenate([
+                    np.clip(image / 255.0, 0.0, 1.0),
+                    colorize(np.asarray(response_map)[None], 'inferno')[0],
+                    colorize(output_depth[None] / 100.0, 'viridis')[0],
+                    colorize(gt[None] / 100.0, 'viridis')[0],
+                ], axis=0)
+                summary_writer.add_image(
+                    'val-image-output_response-output_depth-ground_truth',
+                    panel, global_step=step)
+            except Exception:
+                pass
 
         v_out = (output_depth > 0).astype(np.int32)
         v_gt = (gt > 0).astype(np.int32)

@@ -31,35 +31,43 @@ def derive_output_path(radar_path: str, kind: str) -> str:
 def process_split(restore_path, image_path, radar_path, ground_truth_path,
                   output_dirpath, tag, net_kwargs, patch_size,
                   max_points_inference, min_evaluate_depth,
-                  max_evaluate_depth, paths_only, verbose):
+                  max_evaluate_depth, paths_only, verbose,
+                  run_evaluation=False):
     import jax.numpy as jnp
 
     image_paths = data_utils.read_paths(image_path)
     radar_paths = data_utils.read_paths(radar_path)
     n_sample = len(image_paths)
 
+    # Absolute radar paths map in place (radar_points -> depth_predicted,
+    # the reference's string substitution :227-245); relative ones are
+    # rooted under output_dirpath.
     depth_out_paths = [
-        os.path.join(output_dirpath, derive_output_path(
-            os.path.relpath(p, start=os.path.commonpath([output_dirpath, p]))
-            if os.path.isabs(p) else p, 'depth_predicted'))
-        if not os.path.isabs(p) else derive_output_path(p, 'depth_predicted')
+        derive_output_path(p, 'depth_predicted') if os.path.isabs(p)
+        else os.path.join(output_dirpath,
+                          derive_output_path(p, 'depth_predicted'))
         for p in radar_paths
     ]
     response_out_paths = [
         derive_output_path(p, 'response_predicted') if os.path.isabs(p)
-        else os.path.join(output_dirpath, derive_output_path(
-            p, 'response_predicted'))
+        else os.path.join(output_dirpath,
+                          derive_output_path(p, 'response_predicted'))
         for p in radar_paths
     ]
 
     if not paths_only:
         from rcfd_tpu.data.datasets import RadarNetInferenceDataset
         from rcfd_tpu.data.transforms import Transforms
+        from rcfd_tpu.utils import eval_utils
 
         gt_available = (ground_truth_path is not None and
                         os.path.exists(ground_truth_path))
         gt_paths = data_utils.read_paths(ground_truth_path) \
             if gt_available else None
+        if run_evaluation and not gt_available:
+            raise ValueError(
+                'bridge evaluation requested but no ground truth manifest '
+                'for the {} split'.format(tag))
 
         dataset = RadarNetInferenceDataset(
             image_paths=image_paths, radar_paths=radar_paths,
@@ -73,6 +81,14 @@ def process_split(restore_path, image_path, radar_path, ground_truth_path,
             model, Transforms(normalized_image_range=[0, 1]),
             sample_image.shape[0], sample_image.shape[1])
 
+        mae_i = np.full(n_sample, np.nan)
+        rmse_i = np.full(n_sample, np.nan)
+        imae_i = np.full(n_sample, np.nan)
+        irmse_i = np.full(n_sample, np.nan)
+        n_valid_output = np.zeros(n_sample)
+        n_valid_gt = np.zeros(n_sample)
+        n_valid_inter = np.zeros(n_sample)
+
         for idx in range(n_sample):
             data = dataset.get(idx)
             image, points, valid = data[:3]
@@ -81,11 +97,43 @@ def process_split(restore_path, image_path, radar_path, ground_truth_path,
                 jnp.asarray(points), jnp.asarray(valid))
             os.makedirs(os.path.dirname(depth_out_paths[idx]), exist_ok=True)
             os.makedirs(os.path.dirname(response_out_paths[idx]), exist_ok=True)
-            data_utils.save_depth(np.asarray(depth_map), depth_out_paths[idx])
+            output_depth = np.asarray(depth_map)
+            data_utils.save_depth(output_depth, depth_out_paths[idx])
             data_utils.save_response(np.asarray(response_map),
                                      response_out_paths[idx])
+
+            if run_evaluation:
+                # intersection metrics over the predicted quasi-dense maps
+                # (reference setup/setup_dataset_nuscenes_radarnet.py:352-415)
+                gt = data[3][..., 0]
+                v_out = (output_depth > 0).astype(np.int32)
+                v_gt = (gt > 0).astype(np.int32)
+                v_inter = v_out * v_gt
+                n_valid_inter[idx] = v_inter.sum()
+                n_valid_output[idx] = v_out.sum()
+                n_valid_gt[idx] = v_gt.sum()
+                min_max = np.logical_and(gt > min_evaluate_depth,
+                                         gt < max_evaluate_depth)
+                mask = np.where(np.logical_and(v_inter, min_max) > 0)
+                out_m, gt_m = output_depth[mask], gt[mask]
+                mae_i[idx] = eval_utils.mean_abs_err(1000. * out_m, 1000. * gt_m)
+                rmse_i[idx] = eval_utils.root_mean_sq_err(1000. * out_m,
+                                                          1000. * gt_m)
+                imae_i[idx] = eval_utils.inv_mean_abs_err(0.001 * out_m,
+                                                          0.001 * gt_m)
+                irmse_i[idx] = eval_utils.inv_root_mean_sq_err(0.001 * out_m,
+                                                               0.001 * gt_m)
             if verbose:
                 print('[{}] {}/{}'.format(tag, idx + 1, n_sample), end='\r')
+
+        if run_evaluation:
+            radarnet_main.log_evaluation_results(
+                'Evaluation results on {} samples from {} set'.format(
+                    n_sample, tag),
+                float(np.nanmean(mae_i)), float(np.nanmean(rmse_i)),
+                float(np.nanmean(imae_i)), float(np.nanmean(irmse_i)),
+                float(np.mean(n_valid_output)), float(np.mean(n_valid_inter)),
+                float(np.mean(n_valid_gt)), step, None)
 
     return depth_out_paths, response_out_paths
 
@@ -121,6 +169,10 @@ def main():
     parser.add_argument('--min_evaluate_depth', type=float, default=0.0)
     parser.add_argument('--max_evaluate_depth', type=float, default=100.0)
     parser.add_argument('--max_points_inference', type=int, default=128)
+    parser.add_argument('--run_evaluation', action='store_true',
+                        help='evaluate predicted quasi-dense maps against '
+                             'the ground-truth manifests (intersection '
+                             'metrics, reference :352-415)')
     parser.add_argument('--paths_only', action='store_true')
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
@@ -149,7 +201,8 @@ def main():
             args.restore_path, image_p, radar_p, gt_p, args.output_dirpath,
             tag, net_kwargs, args.patch_size, args.max_points_inference,
             args.min_evaluate_depth, args.max_evaluate_depth,
-            args.paths_only, args.verbose)
+            args.paths_only, args.verbose,
+            run_evaluation=args.run_evaluation)
 
         manifest_dir = os.path.join(
             args.output_dirpath,

@@ -41,6 +41,7 @@ def main():
     parser.add_argument('--min_evaluate_depth', type=float, default=0.0)
     parser.add_argument('--max_evaluate_depth', type=float, default=100.0)
     parser.add_argument('--max_points_inference', type=int, default=128)
+    parser.add_argument('--run_evaluation', action='store_true')
     parser.add_argument('--paths_only', action='store_true')
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
@@ -62,7 +63,7 @@ def main():
         args.test_ground_truth_path, args.output_dirpath, 'test',
         net_kwargs, args.patch_size, args.max_points_inference,
         args.min_evaluate_depth, args.max_evaluate_depth,
-        args.paths_only, args.verbose)
+        args.paths_only, args.verbose, run_evaluation=args.run_evaluation)
 
     manifest_dir = os.path.join(args.output_dirpath, 'testing', 'nuscenes')
     os.makedirs(manifest_dir, exist_ok=True)

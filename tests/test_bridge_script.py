@@ -23,7 +23,8 @@ def _make_fixture(root, n=2, h=64, w=96, n_points=5):
     rng = np.random.default_rng(0)
     os.makedirs(os.path.join(root, 'image'), exist_ok=True)
     os.makedirs(os.path.join(root, 'radar_points', 'scene_0'), exist_ok=True)
-    image_paths, radar_paths = [], []
+    os.makedirs(os.path.join(root, 'ground_truth', 'scene_0'), exist_ok=True)
+    image_paths, radar_paths, gt_paths = [], [], []
     for i in range(n):
         img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
         p = os.path.join(root, 'image', f'{i:04d}.png')
@@ -36,15 +37,23 @@ def _make_fixture(root, n=2, h=64, w=96, n_points=5):
         p = os.path.join(root, 'radar_points', 'scene_0', f'{i:04d}.npy')
         np.save(p, radar)
         radar_paths.append(p)
+        gt = np.zeros((h, w), np.float32)
+        gt[rng.integers(0, h, 50), rng.integers(0, w, 50)] = \
+            rng.random(50) * 60 + 1
+        p = os.path.join(root, 'ground_truth', 'scene_0', f'{i:04d}.png')
+        data_utils.save_depth(gt, p)
+        gt_paths.append(p)
     img_manifest = os.path.join(root, 'images.txt')
     radar_manifest = os.path.join(root, 'radar.txt')
+    gt_manifest = os.path.join(root, 'gt.txt')
     data_utils.write_paths(img_manifest, image_paths)
     data_utils.write_paths(radar_manifest, radar_paths)
-    return img_manifest, radar_manifest, radar_paths
+    data_utils.write_paths(gt_manifest, gt_paths)
+    return img_manifest, radar_manifest, radar_paths, gt_manifest
 
 
 def test_bridge_script_end_to_end(tmp_path):
-    img_m, radar_m, radar_paths = _make_fixture(str(tmp_path / 'data'))
+    img_m, radar_m, radar_paths, gt_m = _make_fixture(str(tmp_path / 'data'))
 
     model = RadarNetModel(
         input_channels_image=3, input_channels_depth=3,
@@ -76,10 +85,15 @@ def test_bridge_script_end_to_end(tmp_path):
         '--decoder_type', 'multiscale', 'batch_norm',
         '--n_filters_decoder', '16', '12', '8', '8', '8',
         '--max_points_inference', '8',
+        '--val_ground_truth_path', gt_m,
+        '--run_evaluation',
     ]
     result = subprocess.run(cmd, env=env, capture_output=True, text=True,
                             timeout=500)
     assert result.returncode == 0, result.stderr[-3000:]
+    # the optional eval prints intersection metrics (reference :352-415)
+    assert 'Evaluation results' in result.stdout
+    assert 'n_isect' in result.stdout
 
     # outputs derived via the radar_points -> depth_predicted substitution
     for p in radar_paths:

@@ -141,3 +141,36 @@ def test_from_raw_radar_matches_preprojected(tmp_path):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dense_raw), np.asarray(dense_pre),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_forward_batched_matches_per_frame():
+    """The batched serving path must produce identical per-frame results."""
+    rng = np.random.default_rng(3)
+    radarnet = RadarNetModel(**RN_KWARGS)
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    pipeline = TwoStagePipeline(
+        radarnet, fusionnet, radarnet.init(jax.random.PRNGKey(0)),
+        fusionnet.init(jax.random.PRNGKey(1)), H, W)
+
+    b, k = 3, 5
+    images = (rng.random((b, H, W, 3), dtype=np.float32) * 255)
+    points = np.stack([
+        rng.integers(0, W, (b, k)).astype(np.float32),
+        rng.integers(0, H, (b, k)).astype(np.float32),
+        rng.random((b, k), dtype=np.float32) * 70 + 1], axis=-1)
+    valid = np.ones((b, k), bool)
+    valid[1, 3:] = False  # ragged frame
+
+    dense_b, quasi_b, resp_b = pipeline.forward_batched(
+        jnp.asarray(images), jnp.asarray(points), jnp.asarray(valid))
+
+    for i in range(b):
+        dense, quasi, resp = pipeline(
+            jnp.asarray(images[i])[None], jnp.asarray(points[i]),
+            jnp.asarray(valid[i]))
+        np.testing.assert_array_equal(np.asarray(quasi_b[i]),
+                                      np.asarray(quasi))
+        np.testing.assert_array_equal(np.asarray(resp_b[i]),
+                                      np.asarray(resp))
+        np.testing.assert_allclose(np.asarray(dense_b[i]), np.asarray(dense),
+                                   rtol=1e-5, atol=1e-5)
