@@ -65,16 +65,41 @@ def random_crop(inputs, shape, crop_type=('none',), rng=None):
 def pad_points(points: np.ndarray, max_points: int):
     """Pad a ragged (N, 3) point set to (max_points, 3) + validity mask.
 
-    If N > max_points the set is truncated (callers should size max_points
-    to cover the dataset; nuScenes front-radar accumulations are a few
-    hundred points at most)."""
+    If N > max_points the set is truncated WITH A LOUD WARNING — dropped
+    radar returns silently change metrics vs the reference, which
+    processes all N points. Size max_points from the data
+    (max_points_in_files) or raise --max_points_inference."""
     n = points.shape[0]
+    if n > max_points:
+        import warnings
+        warnings.warn(
+            'pad_points: truncating {} radar points to max_points={} — '
+            'dropped returns change results vs the reference; size '
+            'max_points from the manifest'.format(n, max_points),
+            RuntimeWarning, stacklevel=2)
     out = np.zeros((max_points, 3), dtype=np.float32)
     valid = np.zeros((max_points,), dtype=bool)
     m = min(n, max_points)
     out[:m] = points[:m]
     valid[:m] = True
     return out, valid
+
+
+def max_points_in_files(radar_paths) -> int:
+    """Largest point count across radar .npy files, read from the npy
+    HEADERS only (no data I/O) — used to auto-size the static point-axis
+    padding so no frame is truncated."""
+    best = 0
+    for path in radar_paths:
+        with open(path, 'rb') as f:
+            version = np.lib.format.read_magic(f)
+            if version >= (2, 0):
+                shape, _, _ = np.lib.format.read_array_header_2_0(f)
+            else:
+                shape, _, _ = np.lib.format.read_array_header_1_0(f)
+        n = shape[0] if len(shape) > 1 else 1
+        best = max(best, int(n))
+    return best
 
 
 class RadarNetTrainingDataset:
@@ -175,11 +200,17 @@ class RadarNetInferenceDataset:
     (reference src/datasets.py:274-343)."""
 
     def __init__(self, image_paths, radar_paths, ground_truth_paths=None,
-                 max_points: int = 128):
+                 max_points: Optional[int] = 128):
         self.n_sample = len(image_paths)
         assert self.n_sample == len(radar_paths)
         self.image_paths = image_paths
         self.radar_paths = radar_paths
+        if max_points is None:
+            # auto-size the static point axis from the manifest so no
+            # frame is ever truncated (npy headers only; padded up to a
+            # multiple of 8 for shape stability across runs)
+            actual = max(max_points_in_files(radar_paths), 1)
+            max_points = -(-actual // 8) * 8
         self.max_points = max_points
         if ground_truth_paths is not None and None not in ground_truth_paths:
             assert self.n_sample == len(ground_truth_paths)
@@ -203,6 +234,48 @@ class RadarNetInferenceDataset:
             out.append(data_utils.load_depth(
                 self.ground_truth_paths[index], data_format='HWC').astype(np.float32))
         return tuple(out)
+
+
+def _native_batch_decode(image_paths, depth_stream_paths, n_threads=8):
+    """Decode one batch with the native C++ loader (rcfd_tpu.native): the
+    camera images through the JPEG/PNG decoder and each 16-bit depth-PNG
+    stream through the x256 codec — one GIL-free threaded native call per
+    stream (reference feeds torch workers instead,
+    src/fusionnet_main.py:112-123).
+
+    Returns (images (B,H,W,3), [stream (B,H,W,1), ...]) or None when the
+    native library is unavailable, disabled, or the files are not
+    uniformly sized (the native batch call errors out and the caller
+    falls back to the per-sample PIL path).
+
+    RCFD_NATIVE_IO: '1' forces on, '0' forces off; unset -> enabled only
+    on multi-core hosts (the batched path exists for parallel decode —
+    on one core it has no advantage and this container's shared-host
+    scheduling makes spawned decode threads erratic)."""
+    import os
+    env = os.environ.get('RCFD_NATIVE_IO')
+    if env == '0':
+        return None
+    if env is None:
+        n_cores = len(os.sched_getaffinity(0)) \
+            if hasattr(os, 'sched_getaffinity') else (os.cpu_count() or 1)
+        if n_cores < 2:
+            return None
+    try:
+        from .. import native
+        if native.get_lib() is None:
+            return None
+        h, w = native.probe(image_paths[0])
+        images = native.batch_read_images(image_paths, h, w,
+                                          n_threads=n_threads)
+        streams = []
+        for paths in depth_stream_paths:
+            hd, wd = native.probe(paths[0])
+            streams.append(native.batch_read_depth(
+                paths, hd, wd, n_threads=n_threads)[..., None])
+        return images, streams
+    except Exception:
+        return None
 
 
 class FusionNetTrainingDataset:
@@ -252,6 +325,37 @@ class FusionNetTrainingDataset:
                 rng=rng)
         return tuple(t.astype(np.float32)
                      for t in [image, depth, response, ground_truth, lidar_map])
+
+    def get_batch(self, indices, rngs, n_threads: int = 8):
+        """Batched decode via the native loader (one threaded C++ call per
+        stream, outside the GIL), then the same per-sample random crop as
+        get(). Identical results for PNG-backed images; JPEG camera frames
+        may differ from PIL by a couple of levels (different IDCT).
+        Falls back to per-sample get() when native decode is unavailable.
+        """
+        decoded = _native_batch_decode(
+            [self.image_paths[i] for i in indices],
+            [[self.depth_paths[i] for i in indices],
+             [self.response_paths[i] for i in indices],
+             [self.ground_truth_paths[i] for i in indices],
+             [self.lidar_map_paths[i] for i in indices]],
+            n_threads=n_threads)
+        if decoded is None:
+            samples = [self.get(int(i), rng)
+                       for i, rng in zip(indices, rngs)]
+            return tuple(np.stack([s[j] for s in samples], axis=0)
+                         for j in range(len(samples[0])))
+
+        images, (depths, responses, gts, lidars) = decoded
+        out = [[], [], [], [], []]
+        for b, rng in enumerate(rngs):
+            sample = [images[b], depths[b], responses[b], gts[b], lidars[b]]
+            if self.do_random_crop:
+                sample = random_crop(inputs=sample, shape=self.shape,
+                                     crop_type=self.random_crop_type, rng=rng)
+            for j, t in enumerate(sample):
+                out[j].append(t.astype(np.float32))
+        return tuple(np.stack(ts, axis=0) for ts in out)
 
 
 class FusionNetInferenceDataset:

@@ -94,19 +94,47 @@ class DataLoader:
             rng = np.random.default_rng((self.seed, self.epoch, int(pos)))
             return self.dataset.get(int(index), rng)
 
+        def fetch_batch(start, idx):
+            # datasets with a batched native-decode path (get_batch) decode
+            # the whole batch in one GIL-free C++ call per stream
+            rngs = [np.random.default_rng((self.seed, self.epoch, int(p)))
+                    for p in range(start, start + len(idx))]
+            return self.dataset.get_batch(
+                [int(i) for i in idx], rngs, n_threads=self.num_workers)
+
+        use_batched = hasattr(self.dataset, 'get_batch')
+
         def producer():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                    for start, idx in batches:
-                        if stop.is_set():
-                            return
-                        samples = list(ex.map(
-                            fetch_sample,
-                            range(start, start + len(idx)), idx))
-                        collated = tuple(
-                            np.stack([s[i] for s in samples], axis=0)
-                            for i in range(len(samples[0])))
-                        out_q.put(collated)
+                if use_batched:
+                    # overlap successive batched native decodes
+                    with ThreadPoolExecutor(max_workers=2) as ex:
+                        futures = []
+                        it = iter(batches)
+                        for _ in range(2):
+                            nxt = next(it, None)
+                            if nxt is not None:
+                                futures.append(ex.submit(fetch_batch, *nxt))
+                        while futures:
+                            if stop.is_set():
+                                return
+                            out_q.put(futures.pop(0).result())
+                            nxt = next(it, None)
+                            if nxt is not None:
+                                futures.append(ex.submit(fetch_batch, *nxt))
+                else:
+                    with ThreadPoolExecutor(
+                            max_workers=self.num_workers) as ex:
+                        for start, idx in batches:
+                            if stop.is_set():
+                                return
+                            samples = list(ex.map(
+                                fetch_sample,
+                                range(start, start + len(idx)), idx))
+                            collated = tuple(
+                                np.stack([s[i] for s in samples], axis=0)
+                                for i in range(len(samples[0])))
+                            out_q.put(collated)
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)

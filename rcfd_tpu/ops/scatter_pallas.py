@@ -11,9 +11,9 @@ dimension and accumulates the full response map in VMEM:
     by the grid) and its column offset / validity from scalar-prefetched
     SMEM, then max-merges into out[:, x : x + pw] via a dynamic slice.
   - value and winner index are packed into ONE int32 per pixel:
-    (response quantized to 14 bits) << 8 | (255 - point index), so a plain
-    elementwise max implements the lexicographic (value, first-index-wins)
-    order. The 14-bit quantization is exactly the response PNG codec
+    (response quantized to 14 bits) << IDX_BITS | (MAX_POINTS - point
+    index), so a plain elementwise max implements the lexicographic
+    (value, first-index-wins) order. The 14-bit quantization is exactly the response PNG codec
     (save_response x2^14), i.e. the precision every downstream consumer
     sees anyway; ties inside one quantization step resolve to the first
     index like torch.max.
@@ -33,8 +33,10 @@ import jax.numpy as jnp
 
 Q_BITS = 14
 Q_SCALE = float(2 ** Q_BITS)
-IDX_BITS = 8
-MAX_POINTS = (1 << IDX_BITS) - 1  # 255
+# 14 value bits + 16 index bits = 30 < 31, so the packed lexicographic max
+# stays positive int32; K up to 65535 covers any accumulated-radar frame
+IDX_BITS = 16
+MAX_POINTS = (1 << IDX_BITS) - 1
 
 
 def _kernel(x_ref, valid_ref, crop_ref, out_ref, *, threshold: float,
@@ -88,7 +90,7 @@ def scatter_quasi_dense_pallas(response_crops, x_positions, z_values, valid,
     """Drop-in Pallas variant of ops.scatter.scatter_quasi_dense.
 
     Same contract; the response map is quantized to the PNG codec's 14-bit
-    precision (see module docstring). Requires K <= 255.
+    precision (see module docstring). Requires K <= MAX_POINTS (65535).
     """
     import jax.experimental.pallas as pl
 
@@ -113,15 +115,15 @@ def scatter_quasi_dense_pallas(response_crops, x_positions, z_values, valid,
     # back to (ph, w): strip the apron and transpose
     packed = jnp.transpose(packed[pw:pw + w, :], (1, 0))
     response_q = (packed >> IDX_BITS).astype(jnp.float32) / Q_SCALE
-    winner = MAX_POINTS - (packed & MAX_POINTS)
+    # empty pixels (packed == 0) decode to MAX_POINTS; clamp to the k slot
+    winner = jnp.minimum(MAX_POINTS - (packed & MAX_POINTS), k)
 
     if legacy_depth_semantics:
         from .scatter import _legacy_rewrite
         depth_rows = _legacy_rewrite(winner, response_q, z_values, valid, k)
     else:
         z_ext = jnp.concatenate([
-            z_values.astype(jnp.float32),
-            jnp.zeros((MAX_POINTS + 1 - k,), jnp.float32)])
+            z_values.astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
         depth_rows = jnp.where(response_q > 0, z_ext[winner], 0.0)
 
     response_map = jnp.zeros((h, w), jnp.float32).at[crop_top:].set(response_q)

@@ -105,7 +105,8 @@ class TwoStagePipeline:
             env = os.environ.get('RCFD_PALLAS_SCATTER')
             use_pallas = (env == '1') if env is not None else \
                 jax.default_backend() in ('tpu', 'axon')
-            if use_pallas and crops.shape[0] <= 255:
+            from .ops.scatter_pallas import MAX_POINTS as _PALLAS_MAX_K
+            if use_pallas and crops.shape[0] <= _PALLAS_MAX_K:
                 from .ops.scatter_pallas import scatter_quasi_dense_pallas
                 depth_map, response_map = scatter_quasi_dense_pallas(
                     crops, xs, zs, valid, image_height=h, image_width=w,
@@ -179,9 +180,11 @@ class TwoStagePipeline:
             use_pallas = (env == '1') if env is not None else \
                 jax.default_backend() in ('tpu', 'axon')
 
+            from .ops.scatter_pallas import MAX_POINTS as _PALLAS_MAX_K
+
             def scatter_one(args):
                 crops_i, xs_i, zs_i, valid_i = args
-                if use_pallas and k <= 255:
+                if use_pallas and k <= _PALLAS_MAX_K:
                     from .ops.scatter_pallas import scatter_quasi_dense_pallas
                     return scatter_quasi_dense_pallas(
                         crops_i, xs_i, zs_i, valid_i, image_height=h,

@@ -251,7 +251,8 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
             box_height=image_height, training=False, return_logits=False)
         crops = responses[..., 0].astype(jnp.float32)  # (K, ph, pw)
 
-        if use_pallas and points.shape[0] <= 255:
+        from .ops.scatter_pallas import MAX_POINTS as _pallas_max_k
+        if use_pallas and points.shape[0] <= _pallas_max_k:
             from .ops.scatter_pallas import scatter_quasi_dense_pallas
             depth_map, response_map = scatter_quasi_dense_pallas(
                 crops, x_shifted, points[:, 2], valid,
@@ -383,7 +384,8 @@ def train(train_image_path,
         image_paths=val_image_paths,
         radar_paths=val_radar_paths,
         ground_truth_paths=val_ground_truth_paths,
-        max_points=max_points_inference)
+        max_points=(None if max_points_inference is None or
+                    max_points_inference <= 0 else max_points_inference))
 
     model = _build_model(
         input_channels_image, input_channels_depth, patch_size, encoder_type,
@@ -688,7 +690,8 @@ def run(restore_path,
         image_paths=image_paths,
         radar_paths=radar_paths,
         ground_truth_paths=ground_truth_paths,
-        max_points=max_points_inference)
+        max_points=(None if max_points_inference is None or
+                    max_points_inference <= 0 else max_points_inference))
 
     transforms = Transforms(normalized_image_range=normalized_image_range)
 

@@ -39,7 +39,9 @@ parser.add_argument('--verbose', action='store_true')
 # Evaluation settings
 parser.add_argument('--min_evaluate_depth', type=float, default=0)
 parser.add_argument('--max_evaluate_depth', type=float, default=100)
-parser.add_argument('--max_points_inference', type=int, default=128)
+parser.add_argument('--max_points_inference', type=int, default=128,
+                    help='static point-axis size; <= 0 auto-sizes '
+                         'from the radar manifest (no truncation)')
 
 
 if __name__ == '__main__':

@@ -71,7 +71,10 @@ def process_split(restore_path, image_path, radar_path, ground_truth_path,
 
         dataset = RadarNetInferenceDataset(
             image_paths=image_paths, radar_paths=radar_paths,
-            ground_truth_paths=gt_paths, max_points=max_points_inference)
+            ground_truth_paths=gt_paths,
+            max_points=(None if max_points_inference is None or
+                        max_points_inference <= 0
+                        else max_points_inference))
 
         model = radarnet_main._build_model(patch_size=patch_size, **net_kwargs)
         params, state, step, _ = model.restore_checkpoint(restore_path)
@@ -168,7 +171,9 @@ def main():
     parser.add_argument('--activation_func', type=str, default='leaky_relu')
     parser.add_argument('--min_evaluate_depth', type=float, default=0.0)
     parser.add_argument('--max_evaluate_depth', type=float, default=100.0)
-    parser.add_argument('--max_points_inference', type=int, default=128)
+    parser.add_argument('--max_points_inference', type=int, default=128,
+                    help='static point-axis size; <= 0 auto-sizes '
+                         'from the radar manifest (no truncation)')
     parser.add_argument('--run_evaluation', action='store_true',
                         help='evaluate predicted quasi-dense maps against '
                              'the ground-truth manifests (intersection '

@@ -40,7 +40,9 @@ def main():
     parser.add_argument('--activation_func', type=str, default='leaky_relu')
     parser.add_argument('--min_evaluate_depth', type=float, default=0.0)
     parser.add_argument('--max_evaluate_depth', type=float, default=100.0)
-    parser.add_argument('--max_points_inference', type=int, default=128)
+    parser.add_argument('--max_points_inference', type=int, default=128,
+                    help='static point-axis size; <= 0 auto-sizes '
+                         'from the radar manifest (no truncation)')
     parser.add_argument('--run_evaluation', action='store_true')
     parser.add_argument('--paths_only', action='store_true')
     parser.add_argument('--verbose', action='store_true')

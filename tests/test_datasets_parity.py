@@ -98,3 +98,35 @@ def test_radarnet_training_dataset_structure(tmp_path):
     np.testing.assert_array_equal(image[:, 0], raw[:, 0])
     np.testing.assert_array_equal(image[:, pad - 1], raw[:, 0])
     np.testing.assert_array_equal(image[:, pad:pad + 64], raw)
+
+
+def test_pad_points_warns_on_truncation(rng):
+    import warnings
+    from rcfd_tpu.data.datasets import pad_points
+    pts = rng.random((10, 3)).astype(np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        out, valid = pad_points(pts, 4)
+        assert any('truncating' in str(x.message) for x in w)
+    assert valid.sum() == 4
+
+
+def test_inference_dataset_auto_sizes_max_points(tmp_path, rng):
+    from PIL import Image
+    from rcfd_tpu.data.datasets import (RadarNetInferenceDataset,
+                                        max_points_in_files)
+    img_path = str(tmp_path / 'f.png')
+    Image.fromarray(rng.integers(0, 255, (8, 8, 3)).astype('uint8')).save(
+        img_path)
+    radar_paths = []
+    for i, n in enumerate([3, 17, 9]):
+        p = str(tmp_path / f'r{i}.npy')
+        np.save(p, rng.random((n, 3)).astype(np.float32))
+        radar_paths.append(p)
+    assert max_points_in_files(radar_paths) == 17
+    ds = RadarNetInferenceDataset([img_path] * 3, radar_paths,
+                                  max_points=None)
+    assert ds.max_points == 24  # 17 rounded up to a multiple of 8
+    _, points, valid = ds.get(1)
+    assert points.shape == (24, 3)
+    assert valid.sum() == 17

@@ -115,3 +115,40 @@ def test_device_prefetch_preserves_order():
     assert len(out) == 5
     for i, (t,) in enumerate(out):
         assert float(jnp.max(t)) == i
+
+
+def test_get_batch_native_matches_per_sample(tmp_path, rng, monkeypatch):
+    """The native batched decode path (get_batch) must produce exactly the
+    per-sample PIL path's batches for PNG-backed fixtures, including the
+    identical random crops, and the RCFD_NATIVE_IO=0 fallback must too."""
+    from fixtures import make_fusionnet_fixture
+    from rcfd_tpu.data import io as data_utils
+
+    manifests = make_fusionnet_fixture(str(tmp_path), n_samples=4, height=24,
+                                       width=32)
+    ds = FusionNetTrainingDataset(
+        image_paths=data_utils.read_paths(manifests['image']),
+        depth_paths=data_utils.read_paths(manifests['depth']),
+        response_paths=data_utils.read_paths(manifests['response']),
+        ground_truth_paths=data_utils.read_paths(manifests['ground_truth']),
+        lidar_map_paths=data_utils.read_paths(manifests['lidar']),
+        shape=(16, 16), random_crop_type=('horizontal', 'vertical'))
+
+    indices = [2, 0, 3]
+
+    def rngs():
+        return [np.random.default_rng((7, 1, p)) for p in range(3)]
+
+    per_sample = [ds.get(i, r) for i, r in zip(indices, rngs())]
+    expect = tuple(np.stack([s[j] for s in per_sample], axis=0)
+                   for j in range(5))
+
+    monkeypatch.setenv('RCFD_NATIVE_IO', '1')
+    got = ds.get_batch(indices, rngs())
+    for a, b in zip(got, expect):
+        np.testing.assert_array_equal(a, b)
+
+    monkeypatch.setenv('RCFD_NATIVE_IO', '0')
+    got_fb = ds.get_batch(indices, rngs())
+    for a, b in zip(got_fb, expect):
+        np.testing.assert_array_equal(a, b)
