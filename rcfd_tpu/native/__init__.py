@@ -16,7 +16,8 @@ from typing import List, Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, 'dataloader.cpp')
+_SRCS = [os.path.join(_DIR, 'dataloader.cpp'),
+         os.path.join(_DIR, 'roi_pool_golden.cpp')]
 _SO = os.path.join(_DIR, 'librcfd_native.so')
 
 _lib = None
@@ -25,7 +26,7 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _SRC,
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', *_SRCS,
            '-o', _SO + '.tmp', '-lpng', '-ljpeg', '-lz', '-lpthread']
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -45,8 +46,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        needs_build = (not os.path.exists(_SO) or
-                       os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        needs_build = (not os.path.exists(_SO) or any(
+            os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS))
         if needs_build and not _build():
             _build_failed = True
             return None
@@ -74,6 +75,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        lib.rcfd_roi_pool_golden.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.rcfd_roi_pool_golden.restype = None
         _lib = lib
         return _lib
 
@@ -154,4 +161,21 @@ def batch_read_images(paths: List[str], height: int, width: int,
                              height, width, _clamp_threads(n_threads))
     if rc != 0:
         raise IOError(f'batch image decode failed ({rc})')
+    return out
+
+
+def roi_pool_golden(feat_nchw: np.ndarray, boxes: np.ndarray,
+                    spatial_scale: float, output_size) -> np.ndarray:
+    """Golden torchvision-semantics ROI max pool (C++ kernel, single
+    image). feat_nchw (C, H, W) f32; boxes (K, 4) [x1, y1, x2, y2] in
+    input coords. Returns (K, C, PH, PW)."""
+    lib = get_lib()
+    feat_nchw = np.ascontiguousarray(feat_nchw, np.float32)
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    c, h, w = feat_nchw.shape
+    k = boxes.shape[0]
+    ph, pw = output_size
+    out = np.empty((k, c, ph, pw), np.float32)
+    lib.rcfd_roi_pool_golden(_fptr(feat_nchw), c, h, w, _fptr(boxes), k,
+                             float(spatial_scale), ph, pw, _fptr(out))
     return out

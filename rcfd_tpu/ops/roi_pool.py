@@ -39,10 +39,16 @@ def _round_half_away(v):
 
 
 def _static_bins(roi_size: int, pooled: int):
-    """Static bin (start, end) pairs for a fixed roi size."""
-    bin_size = roi_size / pooled
-    starts = np.floor(np.arange(pooled) * bin_size).astype(np.int64)
-    ends = np.ceil((np.arange(pooled) + 1) * bin_size).astype(np.int64)
+    """Static bin (start, end) pairs for a fixed roi size.
+
+    The arithmetic is FLOAT32 like torchvision's kernel (scalar_t bins):
+    e.g. roi 114 over 112 bins gives f32(114/112) * 56 = 57.0000038, so
+    bin 55 spans THREE rows [55, 58) where float64 math would give two —
+    verified against the independent C++ golden kernel."""
+    bin_size = np.float32(roi_size) / np.float32(pooled)
+    idx = np.arange(pooled, dtype=np.float32)
+    starts = np.floor(idx * bin_size).astype(np.int64)
+    ends = np.ceil((idx + np.float32(1)) * bin_size).astype(np.int64)
     return starts, ends
 
 
@@ -53,8 +59,12 @@ def pool_rows_static(feat, box_y1: int, box_y2: int, spatial_scale: float,
     Returns (N, pooled_h, W, C). Shared across all column boxes.
     """
     h = feat.shape[1]
-    roi_start_h = int(np.round(box_y1 * spatial_scale))
-    roi_end_h = int(np.round(box_y2 * spatial_scale))
+    # torchvision rounds with C++ std::round (half AWAY from zero);
+    # np.round is banker's rounding and differs at the 1/8 skip where
+    # 900 * 0.125 = 112.5 (np.round -> 112, std::round -> 113) — a real
+    # off-by-one caught by the independent C++ golden kernel
+    roi_start_h = int(np.floor(box_y1 * spatial_scale + 0.5))
+    roi_end_h = int(np.floor(box_y2 * spatial_scale + 0.5))
     roi_height = max(roi_end_h - roi_start_h + 1, 1)
     starts, ends = _static_bins(roi_height, pooled_h)
     starts = np.clip(starts + roi_start_h, 0, h)
@@ -113,7 +123,19 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
     # into a box-independent sliding 2-tap max G over columns followed by
     # a contiguous per-box crop G[:, s_k : s_k + pw] — no per-bin gather.
     bw_scaled = box_width * spatial_scale
-    if float(bw_scaled).is_integer() and pooled_w == int(bw_scaled):
+
+    def _bins_are_j_j2(pw: int) -> bool:
+        # torchvision's f32 bin arithmetic must give exactly [j, j+2) for
+        # every bin (verified for all canonical widths; guards exotic ones)
+        b = np.float32(pw + 1) / np.float32(pw)
+        j = np.arange(pw, dtype=np.float32)
+        s = np.floor(j * b)
+        e = np.ceil((j + np.float32(1)) * b)
+        return bool((s == np.arange(pw)).all() and
+                    (e == np.arange(pw) + 2).all())
+
+    if float(bw_scaled).is_integer() and pooled_w == int(bw_scaled) and \
+            _bins_are_j_j2(pooled_w):
         neg_inf = jnp.array(-jnp.inf, rows.dtype)
         # right tap: rows[:, w+1], -inf past the map (torchvision clips
         # wend to w_f; a 1-tap bin at the edge keeps rows[:, w_f-1])

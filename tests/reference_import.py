@@ -45,15 +45,21 @@ def torch_roi_pool(feat, boxes_list, spatial_scale, output_size):
             end_h = int(cround(y2 * spatial_scale))
             roi_w = max(end_w - start_w + 1, 1)
             roi_h = max(end_h - start_h + 1, 1)
-            bin_h = roi_h / ph
-            bin_w = roi_w / pw
+            # torchvision's kernel does the bin arithmetic in the input
+            # dtype (FLOAT32): e.g. f32(114/112) * 56 = 57.0000038 makes
+            # bin 55 span three rows — float64 math here would diverge
+            # from the real op (verified vs native/roi_pool_golden.cpp)
+            import numpy as np
+            f32 = np.float32
+            bin_h = f32(roi_h) / f32(ph)
+            bin_w = f32(roi_w) / f32(pw)
             pooled = torch.zeros((c, ph, pw), dtype=feat.dtype)
             for i in range(ph):
-                hstart = min(max(int(np_floor(i * bin_h)) + start_h, 0), h)
-                hend = min(max(int(np_ceil((i + 1) * bin_h)) + start_h, 0), h)
+                hstart = min(max(int(np_floor(f32(i) * bin_h)) + start_h, 0), h)
+                hend = min(max(int(np_ceil(f32(i + 1) * bin_h)) + start_h, 0), h)
                 for j in range(pw):
-                    wstart = min(max(int(np_floor(j * bin_w)) + start_w, 0), w)
-                    wend = min(max(int(np_ceil((j + 1) * bin_w)) + start_w, 0), w)
+                    wstart = min(max(int(np_floor(f32(j) * bin_w)) + start_w, 0), w)
+                    wend = min(max(int(np_ceil(f32(j + 1) * bin_w)) + start_w, 0), w)
                     if hend <= hstart or wend <= wstart:
                         continue
                     patch = feat[b, :, hstart:hend, wstart:wend]
