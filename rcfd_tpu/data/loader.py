@@ -23,15 +23,22 @@ def device_prefetch(iterator, sharding=None, buffer_size: int = 2):
     """Double-buffered host->HBM transfer: device_put the next batch(es)
     while the current one computes (streaming input pipeline,
     BASELINE config 5). `sharding` is an optional jax Sharding for the
-    batch (e.g. NamedSharding(mesh, P('data')))."""
+    batch (e.g. NamedSharding(mesh, P('data'))). Under multi-process
+    (multi-host) execution each process feeds its LOCAL batch slice and
+    the global array is assembled across hosts."""
     import collections
 
     import jax
 
     queue = collections.deque()
+    multihost = jax.process_count() > 1
 
     def put(batch):
         if sharding is not None:
+            if multihost:
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)), batch)
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)
 
@@ -51,7 +58,14 @@ class DataLoader:
                  num_workers: int = 8,
                  seed: int = 0,
                  drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 process_index: int = 0,
+                 process_count: int = 1):
+        """batch_size is the GLOBAL batch size. Under multi-host DP pass
+        (jax.process_index(), jax.process_count()): every process builds
+        the identical global order (same seed/epoch) and yields only its
+        contiguous per-host slice of each batch; sample RNG streams are
+        keyed by GLOBAL position so results match single-host runs."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -60,10 +74,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        assert batch_size % process_count == 0, \
+            'global batch size must divide the process count'
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self.process_count > 1:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -81,11 +99,16 @@ class DataLoader:
         order = self._order()
         n = len(order)
         batches = []
+        local = self.batch_size // self.process_count
+        lo, hi = self.process_index * local, (self.process_index + 1) * local
         for start in range(0, n, self.batch_size):
             idx = order[start:start + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
+            if len(idx) < self.batch_size and \
+                    (self.drop_last or self.process_count > 1):
+                # ragged tails cannot be split evenly across hosts
                 continue
-            batches.append((start, idx))
+            # per-host contiguous slice; RNG positions stay GLOBAL
+            batches.append((start + lo, idx[lo:hi]))
 
         out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

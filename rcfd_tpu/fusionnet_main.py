@@ -240,6 +240,11 @@ def train(train_image_path,
     n_train_step = int(
         learning_schedule[-1] * np.ceil(n_train_sample / batch_size))
 
+    # multi-host (DCN) data parallelism: one process per host, the
+    # global 'data' mesh spans all hosts, each host feeds its slice
+    from .parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     train_loader = DataLoader(
         FusionNetTrainingDataset(
             image_paths=train_image_paths,
@@ -253,7 +258,9 @@ def train(train_image_path,
         shuffle=True,
         num_workers=n_thread,
         seed=seed,
-        drop_last=True)
+        drop_last=True,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
 
     train_transforms = Transforms(
         normalized_image_range=normalized_image_range,
@@ -333,8 +340,11 @@ def train(train_image_path,
         step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
     forward_fn = make_forward_fn(model, val_transforms)
 
-    train_summary_writer = SummaryWriter(event_path + '-train')
-    val_summary_writer = SummaryWriter(event_path + '-val')
+    is_lead = jax.process_index() == 0
+    train_summary_writer = SummaryWriter(event_path + '-train',
+                                         enabled=is_lead)
+    val_summary_writer = SummaryWriter(event_path + '-val',
+                                       enabled=is_lead)
 
     log_training_banner(
         log_path, model=model, params=params, batch_size=batch_size,
@@ -404,7 +414,8 @@ def train(train_image_path,
                         summary_writer=val_summary_writer,
                         log_path=log_path)
 
-                model.save_checkpoint(
+                if is_lead:
+                    model.save_checkpoint(
                     checkpoint_path.format(train_step), params, state,
                     step=train_step,
                     optimizer_state_dict=_export_opt(params, opt_state,
@@ -418,10 +429,13 @@ def train(train_image_path,
         max_evaluate_depth=max_evaluate_depth,
         summary_writer=val_summary_writer, log_path=log_path)
 
-    model.save_checkpoint(
-        checkpoint_path.format(train_step), params, state, step=train_step,
-        optimizer_state_dict=_export_opt(params, opt_state, learning_rate,
-                                         w_weight_decay))
+    if is_lead:
+        model.save_checkpoint(
+            checkpoint_path.format(train_step), params, state,
+            step=train_step,
+            optimizer_state_dict=_export_opt(params, opt_state,
+                                             learning_rate,
+                                             w_weight_decay))
     return best_results
 
 

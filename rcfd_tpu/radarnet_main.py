@@ -352,6 +352,11 @@ def train(train_image_path,
     n_train_step = int(
         learning_schedule[-1] * np.ceil(n_train_sample / batch_size))
 
+    # multi-host (DCN) data parallelism: one process per host, the
+    # global 'data' mesh spans all hosts, each host feeds its slice
+    from .parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     train_loader = DataLoader(
         RadarNetTrainingDataset(
             image_paths=train_image_paths,
@@ -364,7 +369,9 @@ def train(train_image_path,
         shuffle=True,
         num_workers=n_thread,
         seed=seed,
-        drop_last=True)
+        drop_last=True,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
 
     train_transforms = Transforms(
         normalized_image_range=normalized_image_range,
@@ -448,8 +455,11 @@ def train(train_image_path,
         model, val_transforms, tuple(patch_size),
         max_distance_correspondence)
 
-    train_summary_writer = SummaryWriter(event_path + '-train')
-    val_summary_writer = SummaryWriter(event_path + '-val')
+    is_lead = jax.process_index() == 0
+    train_summary_writer = SummaryWriter(event_path + '-train',
+                                         enabled=is_lead)
+    val_summary_writer = SummaryWriter(event_path + '-val',
+                                       enabled=is_lead)
 
     log('Network: {} / {}  n_parameters={}'.format(
         encoder_type, decoder_type, model.n_parameters(params)), log_path)
@@ -517,7 +527,8 @@ def train(train_image_path,
                         max_evaluate_depth=max_evaluate_depth,
                         summary_writer=val_summary_writer, log_path=log_path)
 
-                model.save_checkpoint(
+                if is_lead:
+                    model.save_checkpoint(
                     checkpoint_path.format(train_step), params, state,
                     step=train_step)
 
@@ -528,8 +539,9 @@ def train(train_image_path,
         max_evaluate_depth=max_evaluate_depth,
         summary_writer=val_summary_writer, log_path=log_path)
 
-    model.save_checkpoint(checkpoint_path.format(train_step), params, state,
-                          step=train_step)
+    if is_lead:
+        model.save_checkpoint(checkpoint_path.format(train_step), params,
+                              state, step=train_step)
     return best_results
 
 

@@ -8,8 +8,12 @@ import numpy as np
 
 
 class SummaryWriter:
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, enabled: bool = True):
+        """enabled=False makes a no-op writer (e.g. non-lead hosts under
+        multi-host training write no duplicate event files)."""
         self._writer = None
+        if not enabled:
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter as TBWriter
             self._writer = TBWriter(log_dir)

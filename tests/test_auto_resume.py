@@ -10,6 +10,8 @@ from fixtures import make_fusionnet_fixture
 
 from rcfd_tpu import fusionnet_main
 
+pytestmark = pytest.mark.slow  # CLI/train-loop scale
+
 NET = dict(
     input_channels_image=3,
     input_channels_depth=2,

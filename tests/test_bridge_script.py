@@ -16,6 +16,8 @@ from PIL import Image
 from rcfd_tpu.data import io as data_utils
 from rcfd_tpu.models import RadarNetModel
 
+pytestmark = pytest.mark.slow  # CLI/train-loop scale
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

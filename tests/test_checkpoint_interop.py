@@ -14,6 +14,8 @@ from rcfd_tpu.utils.checkpoint import (optax_adam_to_torch_state,
 
 from reference_import import import_reference
 
+pytestmark = pytest.mark.slow  # CLI/train-loop scale
+
 CONFIG = dict(
     input_channels_image=3,
     input_channels_depth=2,

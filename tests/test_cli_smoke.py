@@ -12,6 +12,8 @@ import jax
 
 from fixtures import make_fusionnet_fixture, make_radarnet_fixture
 
+pytestmark = pytest.mark.slow  # CLI/train-loop scale
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TINY_FUSION = dict(

@@ -12,6 +12,8 @@ from rcfd_tpu.utils.checkpoint import tree_to_torch_state_dict
 
 from reference_import import import_reference
 
+pytestmark = pytest.mark.slow  # CLI/train-loop scale
+
 CONFIG = dict(
     input_channels_image=3,
     input_channels_depth=2,

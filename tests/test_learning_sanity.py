@@ -13,6 +13,8 @@ from rcfd_tpu.data.transforms import Transforms
 from rcfd_tpu.models import FusionNetModel, RadarNetModel
 from rcfd_tpu.parallel.optim import init_adam
 
+pytestmark = pytest.mark.slow  # CLI/train-loop scale
+
 
 def test_fusionnet_overfits_fixed_batch(rng):
     model = FusionNetModel(

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from rcfd_tpu.parallel.optim import adam_step, init_adam
 
+pytestmark = pytest.mark.slow  # CLI/train-loop scale
+
 
 @pytest.mark.parametrize('weight_decay', [0.0, 0.01])
 def test_adam_matches_torch(rng, weight_decay):

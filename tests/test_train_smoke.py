@@ -13,6 +13,8 @@ from fixtures import make_fusionnet_fixture, make_radarnet_fixture
 
 from rcfd_tpu import fusionnet_main, radarnet_main
 
+pytestmark = pytest.mark.slow  # CLI/train-loop scale
+
 
 def test_fusionnet_train_and_run(tmp_path):
     manifests = make_fusionnet_fixture(str(tmp_path / 'data'), n_samples=8)
