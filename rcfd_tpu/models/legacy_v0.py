@@ -389,3 +389,64 @@ def three_class_labels(ground_truth_depth, radar_z,
     match = jnp.abs(gt - z) < max_distance_correspondence
     labels = jnp.where(match, 1.0, 0.0)
     return jnp.where(gt > 0, labels, invalid_fill)
+
+
+def check_for_length_and_copy(indices: np.ndarray, final_len: int) -> np.ndarray:
+    """Pad an index list to final_len by cyclic repetition, or truncate
+    (reference setup/data_gen_train.py:876-897)."""
+    indices = np.asarray(indices)
+    n = indices.shape[0]
+    if n >= final_len:
+        return indices[:final_len]
+    reps = int(np.ceil(final_len / max(n, 1)))
+    return np.tile(indices, reps)[:final_len]
+
+
+def register_points_radius(lidar_x, lidar_z, radar_x, radar_z,
+                           radius: float = 0.4,
+                           z_scaling_factor: float = 0.6):
+    """ALL lidar indices within `radius` of each radar point in the
+    (x, z * w) plane — the KD-tree radius query of the legacy data-gen
+    (setup/data_gen_train.py:733-873) as one dense distance matrix.
+
+    Returns a list of np index arrays (possibly empty), one per radar
+    point."""
+    lidar_feat = np.stack(
+        [np.asarray(lidar_x), np.asarray(lidar_z) * z_scaling_factor], axis=1)
+    radar_feat = np.stack(
+        [np.asarray(radar_x), np.asarray(radar_z) * z_scaling_factor], axis=1)
+    d = np.sqrt(np.sum(
+        (radar_feat[:, None, :] - lidar_feat[None, :, :]) ** 2, axis=-1))
+    return [np.where(row <= radius)[0] for row in d]
+
+
+def reorganize_points(radar_points, lidar_points, idx_arrays,
+                      num_points: int):
+    """Build per-radar-point ground-truth point sets
+    (reference setup/data_gen_train.py:899-982): for each radar point
+    with >= 1 match, collect its matched lidar (x, y) pixel positions
+    padded/truncated to num_points.
+
+    Arg(s):
+        radar_points : (3, N_r) image-plane radar points (x, y rows first)
+        lidar_points : (2or3, N_l) image-plane lidar points
+        idx_arrays : per-radar-point matched lidar indices
+        num_points : static per-point match count
+    Returns:
+        input_points (M, 3), ground_truth_points (M, num_points, 2) for
+        the M radar points that had at least one match.
+    """
+    radar_points = np.asarray(radar_points)
+    lidar_points = np.asarray(lidar_points)
+    inputs, gts = [], []
+    for r, idx in enumerate(idx_arrays):
+        if len(idx) == 0:
+            continue
+        idx = check_for_length_and_copy(idx, num_points)
+        inputs.append(radar_points[:3, r])
+        gts.append(lidar_points[:2, idx].T)  # (num_points, 2) x,y
+    if not inputs:
+        return (np.zeros((0, 3), np.float32),
+                np.zeros((0, num_points, 2), np.float32))
+    return (np.stack(inputs).astype(np.float32),
+            np.stack(gts).astype(np.float32))

@@ -109,3 +109,33 @@ def test_process_scene_paths_only(patched):
     assert len(paths['image']) == 2
     # nothing computed
     assert not os.path.exists(paths['lidar'][0])
+
+
+def test_legacy_data_gen_over_fake_db(patched, monkeypatch):
+    """setup/data_gen.py process_scene over the fake 2-frame DB: GT depth
+    PNGs, per-point 3-class label PNGs, radar npy, Data_Struct records
+    (reference setup/data_gen_train.py:1035-1267)."""
+    import data_gen
+
+    nusc, out_dir = patched
+    monkeypatch.setattr(data_gen, '_build_nusc', lambda d, v: nusc)
+    # make registration succeed: lidar/radar share synthetic clouds, so
+    # every radar point registers to itself at distance 0
+    records = data_gen.process_scene(
+        (0, '/nonexistent', 'v1.0-fake', out_dir, 'train', 1, 2, 0.4, 0.6))
+    assert records, 'no samples produced'
+    for (scene_id, sample_id), items in records.items():
+        assert scene_id == 0
+        item = items[0]
+        assert os.path.exists(item.ground_truth_depth_path)
+        radar = np.load(item.radar_points_path)
+        assert radar.ndim == 2 and radar.shape[1] == 3
+        # one 3-class label PNG per registered radar point
+        from PIL import Image
+        for p in range(radar.shape[0]):
+            lab_path = item.ground_truth_label_path.format(p)
+            assert os.path.exists(lab_path), lab_path
+            lab = np.asarray(Image.open(lab_path))
+            assert set(np.unique(lab)) <= {0, 1, 2}
+            assert (lab == 1).sum() >= 1  # the matched points
+            assert (lab == 2).sum() > 0   # invalid background
