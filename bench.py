@@ -50,8 +50,8 @@ def _inputs(batch, rng):
     return image, depth, response
 
 
-def bench_ours(batch_candidates=(4, 2, 1), dtype='bfloat16', n_scan=16,
-               mode=None):
+def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
+               n_scan=None, mode=None):
     """FusionNet inference throughput.
 
     mode='dispatch' (default): chained per-call timing loop. Robust, but
@@ -114,8 +114,12 @@ def bench_ours(batch_candidates=(4, 2, 1), dtype='bfloat16', n_scan=16,
             image, depth, response = _inputs(batch, rng)
             args = tuple(jax.device_put(a) for a in (image, depth, response))
 
+            # ~64 frames per timing loop bounds both compile size and
+            # wall time across batch candidates
+            n_iters_scan = n_scan or max(2, 64 // batch)
+
             if mode == 'scan':
-                loop = make_loop(n_scan)
+                loop = make_loop(n_iters_scan)
                 float(loop(params_c, state_c, *args))  # compile + warm
 
                 def run():
@@ -125,7 +129,7 @@ def bench_ours(batch_candidates=(4, 2, 1), dtype='bfloat16', n_scan=16,
                     return time.perf_counter() - t0
 
                 dt = min(run() for _ in range(3))
-                n_frames = batch * n_scan
+                n_frames = batch * n_iters_scan
             else:
                 n_iters = 10
                 out = forward(params_c, state_c, *args)
@@ -237,7 +241,7 @@ def main():
     # the robust dispatch-loop measurement (conservative: includes
     # ~150 ms relay RPC per call) if it does not finish in time.
     import subprocess
-    budget = float(os.environ.get('RCFD_BENCH_SCAN_BUDGET', '1200'))
+    budget = float(os.environ.get('RCFD_BENCH_SCAN_BUDGET', '1500'))
     try:
         result = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--mode', 'scan'],
