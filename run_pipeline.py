@@ -52,7 +52,12 @@ parser.add_argument('--keep_input_filenames', action='store_true')
 parser.add_argument('--verbose', action='store_true')
 parser.add_argument('--min_evaluate_depth', type=float, default=0.0)
 parser.add_argument('--max_evaluate_depth', type=float, default=80.0)
-parser.add_argument('--max_points_inference', type=int, default=128)
+parser.add_argument('--max_points_inference', type=int, default=128,
+                    help='static point-axis size; <= 0 auto-sizes '
+                         'from the radar manifest (no truncation)')
+parser.add_argument('--batch_size', type=int, default=1,
+                    help='frames per device step (the batched serving '
+                         'path; 4 is the v5e sweet spot at K=64)')
 
 
 def main():
@@ -71,7 +76,9 @@ def main():
 
     dataset = RadarNetInferenceDataset(
         image_paths=image_paths, radar_paths=radar_paths,
-        ground_truth_paths=gt_paths, max_points=args.max_points_inference)
+        ground_truth_paths=gt_paths,
+        max_points=(None if args.max_points_inference <= 0
+                    else args.max_points_inference))
 
     sample_image = data_utils.load_image(image_paths[0])
     radarnet_kwargs = dict(
@@ -107,34 +114,46 @@ def main():
     n_sample = len(image_paths)
     metrics = {k: np.zeros(n_sample) for k in ['mae', 'rmse', 'imae', 'irmse']}
 
-    for idx in range(n_sample):
-        data = dataset.get(idx)
-        image, points, valid = data[:3]
-        dense, quasi, response = pipeline(
-            jnp.asarray(image)[None], jnp.asarray(points), jnp.asarray(valid))
-        dense = np.asarray(dense)
+    bsz = max(1, args.batch_size)
+    for start in range(0, n_sample, bsz):
+        idxs = list(range(start, min(start + bsz, n_sample)))
+        samples = [dataset.get(i) for i in idxs]
+        if len(idxs) > 1:
+            images = np.stack([s[0] for s in samples])
+            points = np.stack([s[1] for s in samples])
+            valid = np.stack([s[2] for s in samples])
+            dense_b, quasi_b, response_b = pipeline.forward_batched(
+                jnp.asarray(images), jnp.asarray(points), jnp.asarray(valid))
+        else:
+            image, points, valid = samples[0][:3]
+            d, q, r = pipeline(jnp.asarray(image)[None], jnp.asarray(points),
+                               jnp.asarray(valid))
+            dense_b, quasi_b, response_b = d[None], q[None], r[None]
 
-        if args.verbose:
-            print('Processed {}/{} samples'.format(idx + 1, n_sample),
-                  end='\r')
-
-        if gt_available:
-            gt = data[3][..., 0]
-            m = eval_utils.compute_all(dense, gt, args.min_evaluate_depth,
-                                       args.max_evaluate_depth)
-            for k in metrics:
-                metrics[k][idx] = m[k]
-
-        if args.save_outputs:
-            filename = (os.path.splitext(os.path.basename(image_paths[idx]))[0]
-                        + '.png') if args.keep_input_filenames \
-                else '{:010d}.png'.format(idx)
-            data_utils.save_depth(dense, os.path.join(
-                dirs['output_depth_fusion'], filename))
-            data_utils.save_depth(np.asarray(quasi), os.path.join(
-                dirs['output_depth_radar'], filename))
-            data_utils.save_response(np.asarray(response), os.path.join(
-                dirs['output_response_radar'], filename))
+        for b, idx in enumerate(idxs):
+            dense = np.asarray(dense_b[b])
+            if args.verbose:
+                print('Processed {}/{} samples'.format(idx + 1, n_sample),
+                      end='\r')
+            if gt_available:
+                gt = samples[b][3][..., 0]
+                m = eval_utils.compute_all(dense, gt,
+                                           args.min_evaluate_depth,
+                                           args.max_evaluate_depth)
+                for k in metrics:
+                    metrics[k][idx] = m[k]
+            if args.save_outputs:
+                filename = (os.path.splitext(
+                    os.path.basename(image_paths[idx]))[0] + '.png') \
+                    if args.keep_input_filenames \
+                    else '{:010d}.png'.format(idx)
+                data_utils.save_depth(dense, os.path.join(
+                    dirs['output_depth_fusion'], filename))
+                data_utils.save_depth(np.asarray(quasi_b[b]), os.path.join(
+                    dirs['output_depth_radar'], filename))
+                data_utils.save_response(
+                    np.asarray(response_b[b]), os.path.join(
+                        dirs['output_response_radar'], filename))
 
     if gt_available:
         log('Two-stage pipeline evaluation:', log_path)
