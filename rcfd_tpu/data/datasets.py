@@ -128,9 +128,32 @@ class RadarNetTrainingDataset:
         return self.n_sample
 
     def get(self, index: int, rng: np.random.Generator):
-        pad = self.pad_size_x
         image = data_utils.load_image(self.image_paths[index], normalize=False,
                                       data_format='HWC')
+        ground_truth = data_utils.load_depth(self.ground_truth_paths[index],
+                                             data_format='HWC')
+        return self._assemble(index, rng, image, ground_truth)
+
+    def get_batch(self, indices, rngs, n_threads: int = 8):
+        """Batched decode via the native loader (see FusionNetTrainingDataset
+        .get_batch); same per-sample point sampling afterwards."""
+        decoded = _native_batch_decode(
+            [self.image_paths[i] for i in indices],
+            [[self.ground_truth_paths[i] for i in indices]],
+            n_threads=n_threads)
+        if decoded is None:
+            samples = [self.get(int(i), rng)
+                       for i, rng in zip(indices, rngs)]
+        else:
+            images, (gts,) = decoded
+            samples = [self._assemble(int(i), rng, images[b], gts[b])
+                       for b, (i, rng) in enumerate(zip(indices, rngs))]
+        return tuple(np.stack([s[j] for s in samples], axis=0)
+                     for j in range(len(samples[0])))
+
+    def _assemble(self, index: int, rng: np.random.Generator, image,
+                  ground_truth):
+        pad = self.pad_size_x
         image = np.pad(image, ((0, 0), (pad, pad), (0, 0)), mode='edge')
 
         radar_points = np.load(self.radar_paths[index])
@@ -142,9 +165,6 @@ class RadarNetTrainingDataset:
         random_idx = rng.integers(radar_points.shape[0],
                                   size=self.total_points_sampled)
         radar_points = radar_points[random_idx, :].astype(np.float32)
-
-        ground_truth = data_utils.load_depth(self.ground_truth_paths[index],
-                                             data_format='HWC')
 
         if rng.random() < self.sample_probability_of_lidar:
             gt2d = ground_truth[..., 0]

@@ -130,3 +130,29 @@ def test_inference_dataset_auto_sizes_max_points(tmp_path, rng):
     _, points, valid = ds.get(1)
     assert points.shape == (24, 3)
     assert valid.sum() == 17
+
+
+def test_radarnet_get_batch_matches_per_sample(tmp_path, rng, monkeypatch):
+    """RadarNet training batched decode must reproduce per-sample batches
+    exactly (PNG-backed images), incl. the identical RNG streams."""
+    from rcfd_tpu.data.datasets import RadarNetTrainingDataset
+    m = make_radarnet_fixture(str(tmp_path), n_samples=4, height=48,
+                              width=64, n_points=6)
+    ds = RadarNetTrainingDataset(
+        image_paths=data_utils.read_paths(m['image']),
+        radar_paths=data_utils.read_paths(m['radar']),
+        ground_truth_paths=data_utils.read_paths(m['ground_truth']),
+        patch_size=(32, 16), total_points_sampled=2,
+        sample_probability_of_lidar=0.5)
+    indices = [1, 3, 0]
+
+    def rngs():
+        return [np.random.default_rng((3, 1, p)) for p in range(3)]
+
+    per_sample = [ds.get(i, r) for i, r in zip(indices, rngs())]
+    expect = tuple(np.stack([s[j] for s in per_sample], axis=0)
+                   for j in range(4))
+    monkeypatch.setenv('RCFD_NATIVE_IO', '1')
+    got = ds.get_batch(indices, rngs())
+    for a, b in zip(got, expect):
+        np.testing.assert_array_equal(a, b)
