@@ -361,6 +361,8 @@ def train(train_image_path,
 
     rng = jax.random.PRNGKey(seed + 1)
     time_start = time.time()
+    from .utils.profiling import TraceWindow
+    trace_window = TraceWindow()
     log('Begin training...', log_path)
 
     for epoch in range(1, learning_schedule[-1] + 1):
@@ -384,6 +386,7 @@ def train(train_image_path,
                 params, state, opt_state, batch, step_key,
                 jnp.float32(learning_rate), jnp.float32(augmentation_probability))
 
+            trace_window.after_step(train_step)
             if (train_step % n_step_per_summary) == 0:
                 for name, value in loss_info.items():
                     train_summary_writer.add_scalar(
@@ -422,6 +425,7 @@ def train(train_image_path,
                                                      learning_rate,
                                                      w_weight_decay))
 
+    trace_window.close()
     best_results = validate(
         model=model, params=params, state=state, forward_fn=forward_fn,
         dataset=val_dataset, step=train_step, best_results=best_results,

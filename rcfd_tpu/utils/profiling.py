@@ -79,3 +79,39 @@ def find_latest_checkpoint(checkpoint_dirpath: str) -> Optional[str]:
             best_step = int(m.group(1))
             best_path = os.path.join(checkpoint_dirpath, fname)
     return best_path
+
+
+class TraceWindow:
+    """Env-driven jax.profiler capture window for the train loops:
+    RCFD_PROFILE_DIR=/path [RCFD_PROFILE_STEPS=a-b, default 10-12]
+    captures the device timeline for steps [a, b]. View with
+    tensorboard --logdir <dir> (profile plugin) or xprof."""
+
+    def __init__(self):
+        import os
+        self.dir = os.environ.get('RCFD_PROFILE_DIR')
+        steps = os.environ.get('RCFD_PROFILE_STEPS', '10-12')
+        try:
+            a, b = steps.split('-')
+            self.start_step, self.stop_step = int(a), int(b)
+        except ValueError:
+            self.start_step, self.stop_step = 10, 12
+        self._active = False
+
+    def after_step(self, step: int):
+        if self.dir is None:
+            return
+        import jax
+        if not self._active and step >= self.start_step:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+        elif self._active and step >= self.stop_step:
+            jax.profiler.stop_trace()
+            self._active = False
+            self.dir = None  # one window per run
+
+    def close(self):
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
