@@ -231,33 +231,50 @@ def main():
     args = parser.parse_args()
 
     if args.mode in ('scan', 'dispatch'):
-        fps, _ = bench_ours(mode=args.mode)
+        batches = None
+        if os.environ.get('RCFD_BENCH_BATCHES'):
+            batches = tuple(int(b) for b in
+                            os.environ['RCFD_BENCH_BATCHES'].split(','))
+        fps, _ = bench_ours(
+            mode=args.mode,
+            **({'batch_candidates': batches} if batches else {}))
         _emit(fps)
         return
 
     # auto: try the honest device-throughput (scan) measurement in a
     # watchdogged subprocess — its remote compile can stall for tens of
-    # minutes through this container's compile relay — and fall back to
-    # the robust dispatch-loop measurement (conservative: includes
-    # ~150 ms relay RPC per call) if it does not finish in time.
+    # minutes through this container's compile relay. On timeout, retry
+    # the scan with smaller batches (cheaper compiles) before the
+    # conservative dispatch-loop fallback (includes relay RPC per call).
     import subprocess
     budget = float(os.environ.get('RCFD_BENCH_SCAN_BUDGET', '1500'))
-    try:
-        result = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), '--mode', 'scan'],
-            timeout=budget, capture_output=True, text=True, cwd=REPO)
+
+    def try_scan(batches=None, timeout=budget):
+        env = dict(os.environ)
+        if batches:
+            env['RCFD_BENCH_BATCHES'] = batches
+        try:
+            result = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), '--mode', 'scan'],
+                timeout=timeout, capture_output=True, text=True, cwd=REPO,
+                env=env)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f'[bench] scan (batches={batches}) exceeded {timeout:.0f}s\n')
+            return None
         if result.returncode == 0:
             for line in result.stdout.strip().splitlines():
                 if line.startswith('{'):
-                    print(line)
                     sys.stderr.write(result.stderr[-2000:])
-                    return
-        sys.stderr.write('[bench] scan subprocess failed; falling back\n')
+                    return line
+        sys.stderr.write('[bench] scan subprocess failed\n')
         sys.stderr.write(result.stderr[-2000:])
-    except subprocess.TimeoutExpired:
-        sys.stderr.write(
-            f'[bench] scan mode exceeded {budget:.0f}s budget; '
-            'falling back to dispatch mode\n')
+        return None
+
+    line = try_scan() or try_scan('8,4,2,1', timeout=budget * 0.6)
+    if line:
+        print(line)
+        return
 
     fps, _ = bench_ours(mode='dispatch')
     _emit(fps)
