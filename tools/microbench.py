@@ -176,6 +176,16 @@ def bench_pipeline(k=64, h=900, w=1600):
     print(f'fused two-stage pipeline K={k} full frame: {t * 1000:.1f} ms '
           f'({1.0 / t:.2f} frames/s)')
 
+    # batched serving path (B=4 is the v5e sweet spot; B>=6 hits the HBM
+    # ceiling on the per-point patch pyramids)
+    b = 4
+    images_b = jnp.broadcast_to(image, (b,) + image.shape[1:])
+    points_b = jnp.broadcast_to(points[None], (b,) + points.shape)
+    valid_b = jnp.broadcast_to(valid[None], (b, k))
+    t = timed(pipe.forward_batched, images_b, points_b, valid_b, n=3)
+    print(f'fused two-stage pipeline K={k} batched B={b}: '
+          f'{t / b * 1000:.1f} ms/frame ({b / t:.2f} frames/s)')
+
 
 def bench_io(n=64, h=900, w=1600, threads=8):
     """Host decode throughput: native C++ codec vs PIL."""
