@@ -297,28 +297,21 @@ class RadarNetV1Encoder(Module):
     def init(self, key):
         return init_children(key, self.children)
 
-    def __call__(self, params, state, image, points, x1, box_height=None,
-                 training=False):
-        """
-        Arg(s):
-            image : (B, H, W, 3)
-            points : (B*K, 3) radar points (x, y, z)
-            x1 : (B, K) left edges of the per-point column boxes
-            box_height : static box height; defaults to the image height
-                (training boxes use patch_size[0], validation boxes use the
-                image height — identical when the patch spans full height)
-        """
-        new_state = dict(state)
-        patch_h, patch_w = self.input_patch_size_image
-        latent_height = int(patch_h // 32)
-        latent_width = int(patch_w // 32)
-        if box_height is None:
-            box_height = image.shape[1]
-
-        latent_image, skips_image, new_state['encoder_image'] = \
+    def encode_image(self, params, state, image, training=False):
+        """Per-image half: the full-frame ResNet encoder (K-independent)."""
+        latent_image, skips_image, new_state_img = \
             self.children['encoder_image'](
                 params['encoder_image'], state['encoder_image'], image,
                 training=training)
+        return latent_image, skips_image, new_state_img
+
+    def fuse_points(self, params, state, latent_image, skips_image, points,
+                    x1, box_height, training=False):
+        """Per-point half: ROI pooling of latent + skips, MLP point
+        encoding, bottleneck concat. Chunkable along the point axis."""
+        patch_h, patch_w = self.input_patch_size_image
+        latent_height = int(patch_h // 32)
+        latent_width = int(patch_w // 32)
 
         skip_scales = [1 / 2., 1 / 4., 1 / 8., 1 / 16., 1 / 32., 1 / 64., 1 / 128.]
         skip_sizes = [
@@ -335,7 +328,7 @@ class RadarNetV1Encoder(Module):
                 skip, x1, box_width=patch_w, box_y1=0, box_y2=box_height,
                 spatial_scale=skip_scales[idx], output_size=skip_sizes[idx]))
 
-        latent_depth, new_state['encoder_depth'] = self.children['encoder_depth'](
+        latent_depth, new_state_depth = self.children['encoder_depth'](
             params['encoder_depth'], state['encoder_depth'], points,
             training=training)
         # torch .view(N, C, -1, W) on a (N, C*h*w) latent is C-major
@@ -344,6 +337,28 @@ class RadarNetV1Encoder(Module):
         latent_depth = jnp.transpose(latent_depth, (0, 2, 3, 1))  # NHWC
 
         latent = jnp.concatenate([latent_pooled, latent_depth], axis=-1)
+        return latent, skips_pooled, new_state_depth
+
+    def __call__(self, params, state, image, points, x1, box_height=None,
+                 training=False):
+        """
+        Arg(s):
+            image : (B, H, W, 3)
+            points : (B*K, 3) radar points (x, y, z)
+            x1 : (B, K) left edges of the per-point column boxes
+            box_height : static box height; defaults to the image height
+                (training boxes use patch_size[0], validation boxes use the
+                image height — identical when the patch spans full height)
+        """
+        new_state = dict(state)
+        if box_height is None:
+            box_height = image.shape[1]
+
+        latent_image, skips_image, new_state['encoder_image'] = \
+            self.encode_image(params, state, image, training=training)
+        latent, skips_pooled, new_state['encoder_depth'] = self.fuse_points(
+            params, state, latent_image, skips_image, points, x1,
+            box_height, training=training)
         return latent, skips_pooled, new_state
 
 

@@ -102,6 +102,64 @@ class RadarNetModel:
             return logits, new_state
         return jax.nn.sigmoid(logits), new_state
 
+    def apply_chunked(self, params, state, image, points, x1,
+                      n_chunks: int, box_height=None,
+                      training: bool = False, return_logits: bool = True):
+        """Forward pass with the per-point half (ROI pools + MLP + patch
+        decode) evaluated in `n_chunks` sequential chunks along the point
+        axis. Identical results to apply(); peak memory for the per-point
+        patch pyramids drops by n_chunks, which unlocks larger frame
+        batches in the fused pipeline (serving throughput).
+
+        Arg(s):
+            points : (B, K, 3); x1 : (B, K); K must divide n_chunks
+        Returns:
+            (B, K, ph, pw, 1) maps, new_state
+        """
+        b, k = points.shape[0], points.shape[1]
+        assert k % n_chunks == 0, (k, n_chunks)
+        kc = k // n_chunks
+        if box_height is None:
+            box_height = image.shape[1]
+
+        new_state = dict(state)
+        latent_image, skips_image, new_state['encoder'] = {}, None, None
+        enc_state = dict(state['encoder'])
+        latent_image, skips_image, enc_state['encoder_image'] = \
+            self.encoder.encode_image(params['encoder'], state['encoder'],
+                                      image, training=training)
+
+        # (B, n_chunks, kc, ...) -> map over chunks
+        pts_c = jnp.transpose(
+            points.reshape(b, n_chunks, kc, 3), (1, 0, 2, 3))
+        x1_c = jnp.transpose(x1.reshape(b, n_chunks, kc), (1, 0, 2))
+
+        def chunk_fn(args):
+            pts, x1s = args  # (B, kc, 3), (B, kc)
+            latent, skips, depth_state = self.encoder.fuse_points(
+                params['encoder'], state['encoder'], latent_image,
+                skips_image, pts.reshape(b * kc, 3), x1s,
+                box_height, training=training)
+            outputs, dec_state = self.decoder(
+                params['decoder'], state['decoder'], latent, skips,
+                shape=self.input_patch_size_image, training=training)
+            out = outputs[-1].reshape(b, kc, *outputs[-1].shape[1:])
+            return out, (depth_state, dec_state)
+
+        outs, (depth_states, dec_states) = jax.lax.map(
+            chunk_fn, (pts_c, x1_c))
+        # (n_chunks, B, kc, ph, pw, 1) -> (B, K, ph, pw, 1)
+        outs = jnp.transpose(outs, (1, 0, 2, 3, 4, 5)).reshape(
+            b, k, *outs.shape[3:])
+
+        # eval-mode states are unchanged; training should use apply()
+        enc_state['encoder_depth'] = state['encoder']['encoder_depth']
+        new_state['encoder'] = enc_state
+        new_state['decoder'] = state['decoder']
+        if return_logits:
+            return outs, new_state
+        return jax.nn.sigmoid(outs), new_state
+
     def compute_loss(self, logits, ground_truth, validity_map,
                      w_positive_class: float = 1.0):
         """Masked positive-weighted BCE normalized by the validity count

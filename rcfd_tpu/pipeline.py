@@ -166,12 +166,32 @@ class TwoStagePipeline:
             x_shifted = points[..., 0] + pad            # (B, K)
             points_shifted = points.at[..., 0].set(x_shifted)
             x1 = x_shifted - pad                        # (B, K)
-            responses, _ = self.radarnet.apply(
-                rn_params, rn_state, images_pad,
-                points_shifted.reshape(b * k, 3), x1,
-                box_height=h, training=False, return_logits=False)
-            crops = responses[..., 0].astype(jnp.float32).reshape(
-                b, k, *responses.shape[1:3])
+
+            # chunk the per-point decode so its patch-pyramid peak memory
+            # stays at ~256 patches regardless of the frame batch (B >= 6
+            # otherwise hits the HBM ceiling); RCFD_DECODE_CHUNKS overrides
+            import os as _os
+            env_chunks = _os.environ.get('RCFD_DECODE_CHUNKS')
+            if env_chunks is not None:
+                n_chunks = max(1, int(env_chunks))
+            else:
+                n_chunks = max(1, (b * k) // 256)
+            while n_chunks > 1 and k % n_chunks != 0:
+                n_chunks -= 1
+
+            if n_chunks > 1:
+                responses, _ = self.radarnet.apply_chunked(
+                    rn_params, rn_state, images_pad, points_shifted, x1,
+                    n_chunks=n_chunks, box_height=h, training=False,
+                    return_logits=False)
+                crops = responses[..., 0].astype(jnp.float32)
+            else:
+                responses, _ = self.radarnet.apply(
+                    rn_params, rn_state, images_pad,
+                    points_shifted.reshape(b * k, 3), x1,
+                    box_height=h, training=False, return_logits=False)
+                crops = responses[..., 0].astype(jnp.float32).reshape(
+                    b, k, *responses.shape[1:3])
             xs = x_shifted.astype(jnp.float32)
             zs = points[..., 2].astype(jnp.float32)
 

@@ -174,3 +174,61 @@ def test_forward_batched_matches_per_frame():
                                       np.asarray(resp))
         np.testing.assert_allclose(np.asarray(dense_b[i]), np.asarray(dense),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_apply_chunked_matches_apply():
+    """Chunked per-point decode must equal the monolithic forward."""
+    import numpy as np
+    rng = np.random.default_rng(4)
+    radarnet = RadarNetModel(**RN_KWARGS)
+    params, state = radarnet.init(jax.random.PRNGKey(0))
+    b, k = 2, 4
+    pad = PATCH[1] // 2
+    image = jnp.asarray(
+        rng.random((b, H, W + 2 * pad, 3), dtype=np.float32))
+    points = jnp.asarray(np.stack([
+        rng.integers(pad, W + pad, (b, k)).astype(np.float32),
+        rng.integers(0, H, (b, k)).astype(np.float32),
+        rng.random((b, k), dtype=np.float32) * 60 + 1], axis=-1))
+    x1 = points[..., 0] - pad
+
+    ref, _ = radarnet.apply(params, state, image,
+                            points.reshape(b * k, 3), x1,
+                            box_height=H, training=False)
+    ref = np.asarray(ref).reshape(b, k, *ref.shape[1:])
+    for n_chunks in (1, 2, 4):
+        out, _ = radarnet.apply_chunked(params, state, image, points, x1,
+                                        n_chunks=n_chunks, box_height=H,
+                                        training=False)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6,
+                                   atol=1e-6, err_msg=f'chunks={n_chunks}')
+
+
+def test_forward_batched_chunked_matches_unchunked(monkeypatch):
+    """The pipeline's chunked decode path must reproduce the unchunked
+    batched results exactly."""
+    import numpy as np
+    rng = np.random.default_rng(6)
+    radarnet = RadarNetModel(**RN_KWARGS)
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    pipeline = TwoStagePipeline(
+        radarnet, fusionnet, radarnet.init(jax.random.PRNGKey(0)),
+        fusionnet.init(jax.random.PRNGKey(1)), H, W)
+    b, k = 2, 4
+    images = (rng.random((b, H, W, 3), dtype=np.float32) * 255)
+    points = np.stack([
+        rng.integers(0, W, (b, k)).astype(np.float32),
+        rng.integers(0, H, (b, k)).astype(np.float32),
+        rng.random((b, k), dtype=np.float32) * 70 + 1], axis=-1)
+    valid = np.ones((b, k), bool)
+
+    monkeypatch.setenv('RCFD_DECODE_CHUNKS', '1')
+    ref = pipeline.forward_batched(jnp.asarray(images), jnp.asarray(points),
+                                   jnp.asarray(valid))
+    del pipeline._forward_b  # force retrace with the new chunking
+    monkeypatch.setenv('RCFD_DECODE_CHUNKS', '2')
+    out = pipeline.forward_batched(jnp.asarray(images), jnp.asarray(points),
+                                   jnp.asarray(valid))
+    for a, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6)
