@@ -557,7 +557,14 @@ class MultiScaleDecoder(Module):
         n -= 1
         skip = (jnp.concatenate([skips[n], upsample_output2], axis=-1)
                 if self.n_resolution > 2 else skips[n])
-        layers.append(run('deconv1', layers[-1], skip=skip))
+        if self._packed_deconv1_ok(layers[-1], skip, training):
+            from ..ops.packed_tail import packed_decoder_block
+            layers.append(packed_decoder_block(
+                layers[-1], skip, self.children['deconv1'],
+                params['deconv1'], state['deconv1']))
+            new_state['deconv1'] = state['deconv1']
+        else:
+            layers.append(run('deconv1', layers[-1], skip=skip))
 
         if self.n_resolution > 1:
             outputs.append(run_conv('output1', layers[-1]))
@@ -600,6 +607,23 @@ class MultiScaleDecoder(Module):
 
         outputs.append(output0)
         return outputs, new_state
+
+    def _packed_deconv1_ok(self, x, skip, training) -> bool:
+        """The phase-packed deconv1 (ops/packed_tail.packed_decoder_block)
+        applies when the block nearest-upsamples exactly x2 onto the skip's
+        grid (true for the canonical patch/frame geometries; deconv2's
+        113 -> 225 style odd resizes do not qualify). Inference only —
+        default on for TPU backends, RCFD_PACKED_DECONV1 overrides."""
+        import os
+        env = os.environ.get('RCFD_PACKED_DECONV1')
+        if env is not None:
+            if env == '0':
+                return False
+        elif jax.default_backend() not in ('tpu', 'axon'):
+            return False
+        if training or self.deconv_type != 'up':
+            return False
+        return tuple(skip.shape[1:3]) == (2 * x.shape[1], 2 * x.shape[2])
 
     def _packed_tail_ok(self, x, target, training) -> bool:
         """The phase-packed tail (ops/packed_tail.py) applies to the

@@ -91,6 +91,15 @@ def depth_to_space(y, co: int):
     return y.reshape(n, 2 * i, 2 * j, co)
 
 
+def space_to_depth(x):
+    """(N,2I,2J,C) -> (N,I,J,4C) phase-packed, channel order
+    (dy*2+dx)*C + c (the exact inverse of depth_to_space)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
 def effective_conv(conv_module, params, state):
     """Effective (weight, bias) of a Conv2d with eval-mode BN folded
     in-graph (also handles already-folded params, where 'bias' exists and
@@ -107,6 +116,61 @@ def effective_conv(conv_module, params, state):
         b = (b - bn_s['running_mean'].astype(jnp.float32)) * s + \
             bn_p['bias'].astype(jnp.float32)
     return w, b
+
+
+def packed_decoder_block(x, skip, block, params, state):
+    """Evaluate one DecoderBlock (nearest-up x2 -> conv3x3 -> skip concat ->
+    conv3x3) entirely at HALF of its output resolution with the four output
+    phases packed into channels.
+
+    deconv1 is the bandwidth wall of the per-point RadarNet decode
+    (docs/PERF.md): its (K, 450, 144, 32/64) intermediates are padded to
+    128 lanes by XLA (4x HBM traffic). Packed, every intermediate runs at
+    (225, 72) with 4C channels — full lanes, unpadded. The up-conv repack
+    is FLOPs-neutral (pack_upconv_kernel); the post-concat conv is the 4x
+    dense packed-packed form (pack_fullres_kernel), which pays off exactly
+    because the unpacked conv ran below ~25%% MXU utilization.
+
+    Exact up to float reassociation. Requires: deconv_type 'up', 3x3
+    stride-1 convs, skip at exactly 2x x's spatial dims (even), eval mode.
+
+    Arg(s):
+        x : (N, I, J, Ci) input to the block
+        skip : (N, 2I, 2J, Cs) skip tensor (may include upsampled side
+            outputs already concatenated by the decoder)
+        block : DecoderBlock module
+        params/state : the block's params/state subtrees
+    Returns:
+        (N, 2I, 2J, Co) — identical to block(x, skip) up to reassociation.
+    """
+    up_conv = block.deconv.conv            # Conv2d inside UpConv2d
+    w_up, b_up = effective_conv(up_conv, params['deconv']['conv'],
+                                state['deconv']['conv'])
+    w_mid, b_mid = effective_conv(block.conv, params['conv'], state['conv'])
+    act_up = up_conv.activation
+    act_mid = block.conv.activation
+    co_up = w_up.shape[-1]
+    cs = skip.shape[-1]
+
+    y = F.conv2d(x, pack_upconv_kernel(w_up), stride=1)
+    y = y + _tile_bias(b_up).astype(y.dtype)
+    if act_up is not None:
+        y = act_up(y)
+
+    # packed concat: per-phase [deconv, skip] to match the block's
+    # concat([deconv, skip]) channel order
+    n, i, j = y.shape[:3]
+    sp = space_to_depth(skip)
+    cat = jnp.concatenate([
+        y.reshape(n, i, j, 4, co_up),
+        sp.reshape(n, i, j, 4, cs)], axis=-1).reshape(
+            n, i, j, 4 * (co_up + cs))
+
+    z = F.conv2d(cat, pack_fullres_kernel(w_mid), stride=1)
+    z = z + _tile_bias(b_mid).astype(z.dtype)
+    if act_mid is not None:
+        z = act_mid(z)
+    return depth_to_space(z, w_mid.shape[-1])
 
 
 def packed_decoder_tail(x, deconv0, output0, params, state):

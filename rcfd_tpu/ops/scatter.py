@@ -110,10 +110,14 @@ def scatter_quasi_dense(response_crops, x_positions, z_values, valid,
     idx_map = jnp.full((h, w), k, dtype=jnp.int32)
     idx_map = idx_map.at[crop_top:, cols_c].min(candidate)
 
+    # accumulate in the crop dtype (winner comparisons are bit-exact in any
+    # dtype), return f32 maps so bf16 serving doesn't round the bridge
+    # codec quantization or the metric z gather downstream
+    response_map = response_map.astype(jnp.float32)
     if legacy_depth_semantics:
         depth_map = _legacy_rewrite(idx_map, response_map, z_values, valid, k)
     else:
-        z_ext = jnp.concatenate([z_values.astype(response_crops.dtype),
-                                 jnp.zeros((1,), response_crops.dtype)])
+        z_ext = jnp.concatenate([z_values.astype(jnp.float32),
+                                 jnp.zeros((1,), jnp.float32)])
         depth_map = jnp.where(response_map > 0, z_ext[idx_map], 0.0)
     return depth_map, response_map

@@ -98,7 +98,11 @@ class TwoStagePipeline:
             responses, _ = self.radarnet.apply(
                 rn_params, rn_state, image_pad, points_shifted, x1,
                 box_height=h, training=False, return_logits=False)
-            crops = responses[..., 0].astype(jnp.float32)
+            # keep crops in the compute dtype: bf16 halves the scatter's
+            # dominant HBM read and the f32 upcast inside both scatter
+            # impls is exact (winners and the 14-bit codec quantization
+            # are unchanged)
+            crops = responses[..., 0]
             xs = x_shifted.astype(jnp.float32)
             zs = points[:, 2].astype(jnp.float32)
             import os
@@ -184,13 +188,13 @@ class TwoStagePipeline:
                     rn_params, rn_state, images_pad, points_shifted, x1,
                     n_chunks=n_chunks, box_height=h, training=False,
                     return_logits=False)
-                crops = responses[..., 0].astype(jnp.float32)
+                crops = responses[..., 0]
             else:
                 responses, _ = self.radarnet.apply(
                     rn_params, rn_state, images_pad,
                     points_shifted.reshape(b * k, 3), x1,
                     box_height=h, training=False, return_logits=False)
-                crops = responses[..., 0].astype(jnp.float32).reshape(
+                crops = responses[..., 0].reshape(
                     b, k, *responses.shape[1:3])
             xs = x_shifted.astype(jnp.float32)
             zs = points[..., 2].astype(jnp.float32)

@@ -249,7 +249,9 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
             params, state, image_pad.astype(pdtype),
             points_shifted.astype(pdtype), x1,
             box_height=image_height, training=False, return_logits=False)
-        crops = responses[..., 0].astype(jnp.float32)  # (K, ph, pw)
+        # keep crops in the compute dtype (bf16 serving halves the
+        # scatter's HBM read; the f32 upcast inside the scatters is exact)
+        crops = responses[..., 0]  # (K, ph, pw)
 
         from .ops.scatter_pallas import MAX_POINTS as _pallas_max_k
         if use_pallas and points.shape[0] <= _pallas_max_k:

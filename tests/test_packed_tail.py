@@ -93,3 +93,71 @@ def test_packed_tail_not_used_in_training(rng, monkeypatch):
     nbt0 = state['deconv0']['conv']['batch_norm']['num_batches_tracked']
     nbt1 = new_state['deconv0']['conv']['batch_norm']['num_batches_tracked']
     assert int(nbt1) == int(nbt0) + 1
+
+
+@pytest.mark.parametrize('use_bn', [False, True])
+def test_packed_decoder_block_matches_unpacked(use_bn, rng):
+    """packed_decoder_block == DecoderBlock (up x2, 3x3 convs, skip concat)
+    up to float reassociation — the deconv1 fast path."""
+    from rcfd_tpu.nn.layers import DecoderBlock
+    from rcfd_tpu.ops.packed_tail import packed_decoder_block
+
+    block = DecoderBlock(10, 6, 8, use_batch_norm=use_bn, deconv_type='up')
+    params, state = block.init(jax.random.PRNGKey(11))
+    if use_bn:
+        def scramble(tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    scramble(v)
+                elif k == 'running_mean':
+                    tree[k] = jnp.asarray(
+                        rng.standard_normal(v.shape) * 0.1, jnp.float32)
+                elif k == 'running_var':
+                    tree[k] = jnp.asarray(
+                        0.5 + rng.random(v.shape), jnp.float32)
+        scramble(state)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 10)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((2, 12, 20, 6)), jnp.float32)
+
+    ref, _ = block(params, state, x, skip=skip, training=False)
+    out = packed_decoder_block(x, skip, block, params, state)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_packed_deconv1_in_decoder(rng, monkeypatch):
+    """The decoder's RCFD_PACKED_DECONV1 gate reproduces the unpacked
+    multiscale output (canonical n_resolution=1 walk)."""
+    dec = _mk_decoder(True)
+    params, state = dec.init(jax.random.PRNGKey(13))
+    latent, skips = _inputs(rng)
+
+    monkeypatch.setenv('RCFD_PACKED_DECONV1', '0')
+    ref, _ = dec(params, state, latent, skips, training=False)
+    monkeypatch.setenv('RCFD_PACKED_DECONV1', '1')
+    out, _ = dec(params, state, latent, skips, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out[-1]), np.asarray(ref[-1]), rtol=2e-5, atol=2e-5)
+
+
+def test_packed_deconv1_skipped_when_not_2x(rng, monkeypatch):
+    """Odd-sized upsample targets (e.g. 113 -> 225) must fall back to the
+    unpacked path and still run correctly."""
+    from rcfd_tpu.models.networks import MultiScaleDecoder
+    dec = MultiScaleDecoder(
+        input_channels=24, output_channels=1, n_resolution=1,
+        n_filters=[16, 12, 8, 8, 8], n_skips=[12, 8, 6, 4, 0],
+        output_func='linear', use_batch_norm=False, deconv_type='up')
+    params, state = dec.init(jax.random.PRNGKey(17))
+    latent = jnp.asarray(rng.standard_normal((1, 2, 3, 24)), jnp.float32)
+    # deconv1's skip is NOT exactly 2x its input (33 != 2*16)
+    skips = [
+        jnp.asarray(rng.standard_normal((1, 33, 48, 4)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 16, 24, 6)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 8, 12, 8)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 4, 6, 12)), jnp.float32),
+    ]
+    monkeypatch.setenv('RCFD_PACKED_DECONV1', '1')
+    monkeypatch.setenv('RCFD_PACKED_TAIL', '0')
+    out, _ = dec(params, state, latent, skips, training=False)
+    assert out[-1].shape[1:3] == (66, 96)

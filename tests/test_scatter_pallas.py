@@ -64,3 +64,40 @@ def test_pallas_scatter_tie_break(rng):
     row = d[h - ph + 2]
     assert np.all(row[4:6] == 33.0)
     assert np.all(row[6:12] == 11.0)
+
+
+def test_pallas_scatter_bf16_crops_match_f32(rng):
+    """bf16 crops (the serving path) give identical maps to the same values
+    presented as f32 — the upcast is exact, winners and codec quantization
+    unchanged."""
+    crops, x, z = _case(rng)
+    h, w, ph, pw = 40, 64, 24, 16
+    valid = np.ones(len(x), bool)
+    crops_bf16 = jnp.asarray(crops).astype(jnp.bfloat16)
+    crops_f32 = crops_bf16.astype(jnp.float32)
+    d_a, r_a = scatter_quasi_dense_pallas(
+        crops_bf16, jnp.asarray(x), jnp.asarray(z), jnp.asarray(valid),
+        h, w, (ph, pw), interpret=True)
+    d_b, r_b = scatter_quasi_dense_pallas(
+        crops_f32, jnp.asarray(x), jnp.asarray(z), jnp.asarray(valid),
+        h, w, (ph, pw), interpret=True)
+    np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_b))
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+    assert r_a.dtype == jnp.float32 and d_a.dtype == jnp.float32
+
+
+def test_xla_scatter_bf16_crops_match_f32(rng):
+    crops, x, z = _case(rng)
+    h, w, ph, pw = 40, 64, 24, 16
+    valid = np.ones(len(x), bool)
+    crops_bf16 = jnp.asarray(crops).astype(jnp.bfloat16)
+    crops_f32 = crops_bf16.astype(jnp.float32)
+    d_a, r_a = scatter_quasi_dense(
+        crops_bf16, jnp.asarray(x), jnp.asarray(z), jnp.asarray(valid),
+        h, w, (ph, pw))
+    d_b, r_b = scatter_quasi_dense(
+        crops_f32, jnp.asarray(x), jnp.asarray(z), jnp.asarray(valid),
+        h, w, (ph, pw))
+    np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_b))
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+    assert r_a.dtype == jnp.float32 and d_a.dtype == jnp.float32
