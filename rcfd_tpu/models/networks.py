@@ -612,14 +612,14 @@ class MultiScaleDecoder(Module):
         """The phase-packed deconv1 (ops/packed_tail.packed_decoder_block)
         applies when the block nearest-upsamples exactly x2 onto the skip's
         grid (true for the canonical patch/frame geometries; deconv2's
-        113 -> 225 style odd resizes do not qualify). Inference only —
-        default on for TPU backends, RCFD_PACKED_DECONV1 overrides."""
+        113 -> 225 style odd resizes do not qualify). Inference only.
+
+        MEASURED SLOWER on v5e (15.3 vs 10.0 ms at K=64 RadarNet shapes):
+        the 4x-dense packed-packed conv does not pay off — XLA's unpacked
+        path runs above the ~25% utilization break-even. Kept as a tested
+        opt-in (RCFD_PACKED_DECONV1=1), like RCFD_FUSED_UPSAMPLE."""
         import os
-        env = os.environ.get('RCFD_PACKED_DECONV1')
-        if env is not None:
-            if env == '0':
-                return False
-        elif jax.default_backend() not in ('tpu', 'axon'):
+        if os.environ.get('RCFD_PACKED_DECONV1', '0') != '1':
             return False
         if training or self.deconv_type != 'up':
             return False

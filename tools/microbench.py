@@ -187,6 +187,75 @@ def bench_pipeline(k=64, h=900, w=1600):
           f'{t / b * 1000:.1f} ms/frame ({b / t:.2f} frames/s)')
 
 
+def bench_pipeline_scan(k=64, h=900, w=1600, batches=(4, 8), n_scan=8):
+    """Device-only fused-pipeline throughput: an on-device lax.scan of
+    chained batched forwards amortizes the ~24 ms relay dispatch overhead
+    (same methodology as bench.py scan mode — the honest device number)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from rcfd_tpu.models import FusionNetModel, RadarNetModel
+    from rcfd_tpu.pipeline import TwoStagePipeline
+
+    radarnet = RadarNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=(900, 288),
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=[32, 64, 128, 128, 128],
+        n_neurons_encoder_depth=[32, 64, 128, 128, 128],
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=[256, 128, 64, 32, 16])
+    fusionnet = FusionNetModel(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type='fusionnet18_batch_norm',
+        n_filters_encoder_image=[32, 64, 128, 256, 256, 256],
+        n_filters_encoder_depth=[16, 32, 64, 128, 128, 128],
+        fusion_type='weight_and_project',
+        decoder_type='multiscale_batch_norm',
+        n_resolution_decoder=1,
+        n_filters_decoder=[256, 256, 128, 64, 64, 32],
+        min_predict_depth=1.0, max_predict_depth=100.0)
+    pipe = TwoStagePipeline(
+        radarnet, fusionnet,
+        jax.jit(radarnet.init)(jax.random.PRNGKey(0)),
+        jax.jit(fusionnet.init)(jax.random.PRNGKey(1)),
+        h, w, optimize=True, compute_dtype=jnp.bfloat16)
+    fwd = pipe._build_forward_batched()
+
+    rng = np.random.default_rng(0)
+    for b in batches:
+        images = jnp.asarray(
+            rng.random((b, h, w, 3), dtype=np.float32) * 255)
+        points = jnp.asarray(np.stack([
+            rng.integers(0, w, (b, k)).astype(np.float32),
+            rng.integers(0, h, (b, k)).astype(np.float32),
+            rng.random((b, k), dtype=np.float32) * 70 + 1], axis=-1))
+        valid = jnp.ones((b, k), bool)
+
+        @jax.jit
+        def loop(rn_p, rn_s, fn_p, fn_s, images, points, valid):
+            def body(img, _):
+                out, _, _ = fwd(rn_p, rn_s, fn_p, fn_s, img, points, valid)
+                return img + out[..., None].astype(img.dtype) * 1e-12, ()
+            img, _ = lax.scan(body, images, None, length=n_scan)
+            return img[0, 0, 0, 0]
+
+        args = (pipe.radarnet_params, pipe.radarnet_state,
+                pipe.fusionnet_params, pipe.fusionnet_state,
+                images, points, valid)
+        try:
+            float(loop(*args))  # compile + warm
+            t = min((lambda t0: (float(loop(*args)),
+                                 time.perf_counter() - t0)[1])(
+                time.perf_counter()) for _ in range(3))
+            ms = t / (b * n_scan) * 1000
+            print(f'pipeline scan-mode K={k} B={b}: {ms:.1f} ms/frame '
+                  f'({1000.0 / ms:.2f} frames/s device-only)', flush=True)
+        except Exception as e:
+            print(f'pipeline scan-mode B={b} failed: '
+                  f'{type(e).__name__}: {e}', flush=True)
+
+
 def bench_io(n=64, h=900, w=1600, threads=8):
     """Host decode throughput: native C++ codec vs PIL."""
     import tempfile
@@ -240,6 +309,8 @@ def main():
         bench_io()
     if 'pipeline' in args.ops:
         bench_pipeline(k=min(args.k, 64))
+    if 'pipeline_scan' in args.ops:
+        bench_pipeline_scan(k=min(args.k, 64))
 
 
 if __name__ == '__main__':
