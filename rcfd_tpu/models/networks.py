@@ -336,6 +336,11 @@ class RadarNetV1Encoder(Module):
             points.shape[0], self.n_neuron_latent_depth, -1, latent_width)
         latent_depth = jnp.transpose(latent_depth, (0, 2, 3, 1))  # NHWC
 
+        # mixed precision: the MLP may run f32 (points are pixel
+        # coordinates that bf16 would quantize); its output features join
+        # the image branch in the image branch's compute dtype
+        if latent_depth.dtype != latent_pooled.dtype:
+            latent_depth = latent_depth.astype(latent_pooled.dtype)
         latent = jnp.concatenate([latent_pooled, latent_depth], axis=-1)
         return latent, skips_pooled, new_state_depth
 

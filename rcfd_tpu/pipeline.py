@@ -86,8 +86,11 @@ class TwoStagePipeline:
                 jax.random.PRNGKey(0), [image],
                 random_transform_probability=0.0)
             if compute_dtype is not None:
+                # image only: points are pixel coordinates (bf16 steps of
+                # 8 above x=1024 would shift boxes/scatter columns by up
+                # to 4 px); the MLP runs f32 and its features join the
+                # image branch in bf16 at the bottleneck
                 image_t = image_t.astype(compute_dtype)
-                points = points.astype(compute_dtype)
 
             # ---- stage 1: RadarNet ------------------------------------
             image_pad = jnp.pad(image_t, ((0, 0), (0, 0), (pad, pad), (0, 0)),
@@ -162,8 +165,8 @@ class TwoStagePipeline:
                 jax.random.PRNGKey(0), [images],
                 random_transform_probability=0.0)
             if compute_dtype is not None:
+                # image only — see _build_forward: coordinates stay f32
                 images_t = images_t.astype(compute_dtype)
-                points = points.astype(compute_dtype)
 
             images_pad = jnp.pad(
                 images_t, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode='edge')

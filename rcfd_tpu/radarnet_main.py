@@ -54,6 +54,13 @@ def _make_train_step(model: RadarNetModel,
                      w_positive_class: float,
                      w_weight_decay: float,
                      axis_name: Optional[str] = None):
+    """Build the pure per-shard train step.
+
+    RCFD_TRAIN_DTYPE=bfloat16 enables mixed precision like the FusionNet
+    step: f32 master weights and optimizer state, bf16 network inputs
+    (layers compute in the input dtype on the MXU), f32 labels/losses."""
+    compute_dtype = jnp.bfloat16 \
+        if os.environ.get('RCFD_TRAIN_DTYPE') == 'bfloat16' else None
 
     def step(params, state, opt_state, batch, key, lr, aug_prob):
         image, radar_points, bounding_boxes, ground_truth = batch
@@ -83,6 +90,13 @@ def _make_train_step(model: RadarNetModel,
             validity_map = jnp.where(gt_flat <= 0, 0.0, 1.0)
 
         x1 = bounding_boxes[..., 0]  # (B, K)
+
+        if compute_dtype is not None:
+            # cast the image only: points are pixel coordinates up to
+            # ~1900 where bf16 quantizes in steps of 8, and the MLP point
+            # encoder is negligible compute (its first layer casts weights
+            # to the input dtype, so the conv stack still runs bf16)
+            image_t = image_t.astype(compute_dtype)
 
         def loss_fn(p):
             logits, new_state = model.apply(
@@ -243,11 +257,14 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
         points_shifted = points.at[:, 0].set(x_shifted)
         x1 = (x_shifted - pad)[None, :]  # (1, K)
 
-        # follow the params' compute dtype (bf16 serving: cast params once)
+        # follow the params' compute dtype (bf16 serving: cast params
+        # once). The IMAGE only: points are pixel coordinates that bf16
+        # would quantize (steps of 8 above x=1024 — up to 4 px of box /
+        # scatter-column shift); the MLP runs f32 and its features join
+        # the image branch in the compute dtype at the bottleneck.
         pdtype = jax.tree_util.tree_leaves(params)[0].dtype
         responses, _ = model.apply(
-            params, state, image_pad.astype(pdtype),
-            points_shifted.astype(pdtype), x1,
+            params, state, image_pad.astype(pdtype), points_shifted, x1,
             box_height=image_height, training=False, return_logits=False)
         # keep crops in the compute dtype (bf16 serving halves the
         # scatter's HBM read; the f32 upcast inside the scatters is exact)

@@ -256,6 +256,112 @@ def bench_pipeline_scan(k=64, h=900, w=1600, batches=(4, 8), n_scan=8):
                   f'{type(e).__name__}: {e}', flush=True)
 
 
+def bench_train(n_lo=2, n_hi=8):
+    """Canonical train-step throughput for both models (slope method over
+    an on-device lax.scan whose carry is the full (params, state, opt)
+    triple — the natural chaining for a train step). RCFD_TRAIN_DTYPE
+    selects precision."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from rcfd_tpu import fusionnet_main, radarnet_main
+    from rcfd_tpu.data.transforms import Transforms
+    from rcfd_tpu.models import FusionNetModel, RadarNetModel
+    from rcfd_tpu.parallel.optim import init_adam
+
+    rng = np.random.default_rng(0)
+
+    def slope(step_fn, params, state, opt_state, batch, n_samples):
+        def timed(n):
+            @jax.jit
+            def loop(params, state, opt_state, batch):
+                def body(carry, _):
+                    p, s, o = carry
+                    p, s, o, info = step_fn(
+                        p, s, o, batch, jax.random.PRNGKey(0),
+                        jnp.float32(1e-4), jnp.float32(0.0))
+                    return (p, s, o), info['loss']
+                carry, losses = lax.scan(
+                    body, (params, state, opt_state), None, length=n)
+                return losses[-1]
+            float(loop(params, state, opt_state, batch))
+            return min(
+                (lambda t0: (float(loop(params, state, opt_state, batch)),
+                             time.perf_counter() - t0)[1])(
+                    time.perf_counter()) for _ in range(3))
+        t_lo, t_hi = timed(n_lo), timed(n_hi)
+        ms = (t_hi - t_lo) / (n_hi - n_lo) * 1000
+        print(f'  {ms:.1f} ms/step = {n_samples / ms * 1000:.1f} '
+              f'samples/s/chip', flush=True)
+
+    # RadarNet: bash/train_radarnet_nuscenes.sh (bs 6, patch 900x288, K=4)
+    b, k, ph, pw = 6, 4, 900, 288
+    w_pad = 1600 + pw
+    model = RadarNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=(ph, pw),
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=[32, 64, 128, 128, 128],
+        n_neurons_encoder_depth=[32, 64, 128, 128, 128],
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=[256, 128, 64, 32, 16])
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    opt_state = init_adam(params)
+    step_fn = radarnet_main._make_train_step(
+        model, Transforms(normalized_image_range=[0, 1]), (ph, pw),
+        max_distance_correspondence=0.4,
+        set_invalid_to_negative_class=True,
+        w_positive_class=2.0, w_weight_decay=0.0)
+    x1 = rng.integers(0, w_pad - pw, (b, k)).astype(np.float32)
+    batch = (
+        jnp.asarray(rng.random((b, ph, w_pad, 3), np.float32) * 255),
+        jnp.asarray(np.stack([
+            x1 + pw // 2,
+            rng.integers(0, ph, (b, k)).astype(np.float32),
+            rng.random((b, k), np.float32) * 70 + 1], axis=-1)),
+        jnp.asarray(np.stack(
+            [x1, np.zeros_like(x1), x1 + pw, np.full_like(x1, ph)],
+            axis=-1)),
+        jnp.asarray(rng.random((b, k, ph, pw, 1), np.float32) * 70),
+    )
+    print(f'radarnet train step bs={b} K={k} patch={ph}x{pw} '
+          f'dtype={os.environ.get("RCFD_TRAIN_DTYPE", "float32")}:',
+          flush=True)
+    slope(step_fn, params, state, opt_state, batch, b)
+
+    # FusionNet: bash/train_fusionnet_nuscenes.sh (bs 16, 448x448 crops)
+    b, hw = 16, 448
+    model = FusionNetModel(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type='fusionnet18_batch_norm',
+        n_filters_encoder_image=[32, 64, 128, 256, 256, 256],
+        n_filters_encoder_depth=[16, 32, 64, 128, 128, 128],
+        fusion_type='weight_and_project',
+        decoder_type='multiscale_batch_norm',
+        n_resolution_decoder=1,
+        n_filters_decoder=[256, 256, 128, 64, 64, 32],
+        min_predict_depth=1.0, max_predict_depth=100.0)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    opt_state = init_adam(params)
+    step_fn = fusionnet_main._make_train_step(
+        model, Transforms(normalized_image_range=[0, 1]),
+        loss_func='l1', w_smoothness=0.0, w_lidar_loss=2.0,
+        w_weight_decay=0.0, loss_smoothness_kernel_size=3,
+        outlier_kernel_size=7, outlier_threshold=1.5,
+        dilation_kernel_size=-1)
+    batch = (
+        jnp.asarray(rng.random((b, hw, hw, 3), np.float32) * 255),
+        jnp.asarray(rng.random((b, hw, hw, 1), np.float32) * 80),
+        jnp.asarray(rng.random((b, hw, hw, 1), np.float32)),
+        jnp.asarray(rng.random((b, hw, hw, 1), np.float32) * 80),
+        jnp.asarray(rng.random((b, hw, hw, 1), np.float32) * 80),
+    )
+    print(f'fusionnet train step bs={b} {hw}x{hw} '
+          f'dtype={os.environ.get("RCFD_TRAIN_DTYPE", "float32")}:',
+          flush=True)
+    slope(step_fn, params, state, opt_state, batch, b)
+
+
 def bench_io(n=64, h=900, w=1600, threads=8):
     """Host decode throughput: native C++ codec vs PIL."""
     import tempfile
@@ -311,6 +417,8 @@ def main():
         bench_pipeline(k=min(args.k, 64))
     if 'pipeline_scan' in args.ops:
         bench_pipeline_scan(k=min(args.k, 64))
+    if 'train' in args.ops:
+        bench_train()
 
 
 if __name__ == '__main__':
