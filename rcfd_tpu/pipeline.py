@@ -250,6 +250,36 @@ class TwoStagePipeline:
             self.fusionnet_params, self.fusionnet_state,
             images, points, valid)
 
+    def forward_sharded(self, images, points, valid, mesh=None):
+        """Data-parallel serving over a device mesh: the frame batch is
+        sharded on the 'data' axis (shard_map, so per-shard control flow
+        like the scatter lax.map stays local — no cross-device gathers),
+        parameters replicated. The inference-side counterpart of the
+        reference's DataParallel (src/radarnet_model.py:260-266).
+
+        Arg(s) as forward_batched; the leading batch dim must divide by
+        the mesh size. Per-frame results identical to forward_batched."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if mesh is None:
+            from .parallel.mesh import get_mesh
+            mesh = get_mesh()
+        if getattr(self, '_forward_sharded_mesh', None) is not mesh:
+            fwd = self._build_forward_batched()
+            fn = shard_map(
+                fwd, mesh=mesh,
+                in_specs=(P(), P(), P(), P(),
+                          P('data'), P('data'), P('data')),
+                out_specs=(P('data'), P('data'), P('data')),
+                check_rep=False)
+            self._forward_sharded = jax.jit(fn)
+            self._forward_sharded_mesh = mesh
+        return self._forward_sharded(
+            self.radarnet_params, self.radarnet_state,
+            self.fusionnet_params, self.fusionnet_state,
+            images, points, valid)
+
     def from_raw_radar(self, image, points_sensor, valid,
                        sensor_to_camera, intrinsics,
                        min_distance_from_camera: float = 1.0):

@@ -232,3 +232,32 @@ def test_forward_batched_chunked_matches_unchunked(monkeypatch):
     for a, r in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_forward_sharded_matches_batched():
+    """Data-parallel serving (shard_map over the virtual 8-device CPU
+    mesh) must give per-frame results identical to forward_batched."""
+    from rcfd_tpu.parallel.mesh import get_mesh
+
+    rng = np.random.default_rng(5)
+    radarnet = RadarNetModel(**RN_KWARGS)
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    pipeline = TwoStagePipeline(
+        radarnet, fusionnet, radarnet.init(jax.random.PRNGKey(0)),
+        fusionnet.init(jax.random.PRNGKey(1)), H, W,
+        normalized_image_range=(0, 1), quantize_bridge=True)
+
+    b, k = 8, 4
+    images = jnp.asarray(rng.random((b, H, W, 3), np.float32) * 255)
+    points = jnp.asarray(np.stack([
+        rng.integers(0, W, (b, k)).astype(np.float32),
+        rng.integers(0, H, (b, k)).astype(np.float32),
+        rng.random((b, k), np.float32) * 70 + 1], axis=-1))
+    valid = jnp.ones((b, k), bool)
+
+    ref = pipeline.forward_batched(images, points, valid)
+    mesh = get_mesh(8)
+    out = pipeline.forward_sharded(images, points, valid, mesh=mesh)
+    for a, r in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-5)
