@@ -58,6 +58,10 @@ parser.add_argument('--max_points_inference', type=int, default=128,
 parser.add_argument('--batch_size', type=int, default=1,
                     help='frames per device step (the batched serving '
                          'path; 4 is the v5e sweet spot at K=64)')
+parser.add_argument('--data_parallel', action='store_true',
+                    help='shard the frame batch over all devices '
+                         '(shard_map DP serving; batch_size must divide '
+                         'the device count evenly)')
 
 
 def main():
@@ -114,6 +118,18 @@ def main():
     n_sample = len(image_paths)
     metrics = {k: np.zeros(n_sample) for k in ['mae', 'rmse', 'imae', 'irmse']}
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+        from rcfd_tpu.parallel.mesh import get_mesh
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev != 0:
+            raise SystemExit(
+                f'--data_parallel needs batch_size ({args.batch_size}) '
+                f'divisible by the device count ({n_dev})')
+        mesh = get_mesh()
+        log(f'Data-parallel serving over {n_dev} device(s)', log_path)
+
     bsz = max(1, args.batch_size)
     for start in range(0, n_sample, bsz):
         idxs = list(range(start, min(start + bsz, n_sample)))
@@ -122,8 +138,14 @@ def main():
             images = np.stack([s[0] for s in samples])
             points = np.stack([s[1] for s in samples])
             valid = np.stack([s[2] for s in samples])
-            dense_b, quasi_b, response_b = pipeline.forward_batched(
-                jnp.asarray(images), jnp.asarray(points), jnp.asarray(valid))
+            if mesh is not None and len(idxs) == bsz:
+                dense_b, quasi_b, response_b = pipeline.forward_sharded(
+                    jnp.asarray(images), jnp.asarray(points),
+                    jnp.asarray(valid), mesh=mesh)
+            else:
+                dense_b, quasi_b, response_b = pipeline.forward_batched(
+                    jnp.asarray(images), jnp.asarray(points),
+                    jnp.asarray(valid))
         else:
             image, points, valid = samples[0][:3]
             d, q, r = pipeline(jnp.asarray(image)[None], jnp.asarray(points),

@@ -202,3 +202,63 @@ def test_run_fusionnet_cli_batched_eval_matches(tmp_path):
                             eval_batch_size=2, **common)
     for k in r1:
         np.testing.assert_allclose(r1[k], r2[k], rtol=1e-6)
+
+
+def test_run_pipeline_cli_data_parallel(tmp_path):
+    """--data_parallel shards the batch over the virtual CPU mesh."""
+    from rcfd_tpu.models import FusionNetModel, RadarNetModel
+    manifests = make_radarnet_fixture(str(tmp_path / 'data'), n_samples=4,
+                                      height=64, width=96)
+
+    radarnet = RadarNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=(64, 32),
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=[8, 12, 16, 16, 16],
+        n_neurons_encoder_depth=[8, 12, 16, 16, 16],
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=[16, 12, 8, 8, 8])
+    rp, rs = radarnet.init(jax.random.PRNGKey(0))
+    rn_ckpt = str(tmp_path / 'radarnet-1.npz')
+    radarnet.save_checkpoint(rn_ckpt, rp, rs, step=1)
+
+    fusionnet = FusionNetModel(**TINY_FUSION)
+    fp, fs = fusionnet.init(jax.random.PRNGKey(1))
+    fn_ckpt = str(tmp_path / 'fusionnet-1.npz')
+    fusionnet.save_checkpoint(fn_ckpt, fp, fs, step=1)
+
+    out_dir = str(tmp_path / 'out')
+    cmd = [
+        sys.executable, os.path.join(REPO, 'run_pipeline.py'),
+        '--radarnet_restore_path', rn_ckpt,
+        '--fusionnet_restore_path', fn_ckpt,
+        '--image_path', manifests['image'],
+        '--radar_path', manifests['radar'],
+        '--ground_truth_path', manifests['ground_truth'],
+        '--patch_size', '64', '32',
+        '--radarnet_encoder_type', 'radarnetv1', 'batch_norm',
+        '--radarnet_n_filters_encoder_image', '8', '12', '16', '16', '16',
+        '--radarnet_n_neurons_encoder_depth', '8', '12', '16', '16', '16',
+        '--radarnet_n_filters_decoder', '16', '12', '8', '8', '8',
+        '--fusionnet_encoder_type', 'fusionnet18', 'batch_norm',
+        '--fusionnet_n_filters_encoder_image', '8', '12', '16', '16', '16',
+        '--fusionnet_n_filters_encoder_depth', '4', '6', '8', '8', '8',
+        '--fusion_type', 'weight_and_project',
+        '--fusionnet_n_filters_decoder', '16', '12', '8', '8', '8',
+        '--output_dirpath', out_dir,
+        '--save_outputs',
+        '--max_points_inference', '8',
+        '--batch_size', '4',
+        '--data_parallel',
+    ]
+    env = _env()
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '') +
+                        ' --xla_force_host_platform_device_count=4')
+    result = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                            timeout=500)
+    assert result.returncode == 0, result.stderr[-3000:]
+    for i in range(4):
+        assert os.path.exists(os.path.join(
+            out_dir, 'output_depth_fusion', f'{i:010d}.png'))
+    txt = open(os.path.join(out_dir, 'results.txt')).read()
+    assert 'Data-parallel serving over 4 device(s)' in txt
