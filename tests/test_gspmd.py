@@ -16,6 +16,8 @@ from rcfd_tpu.parallel.gspmd import (get_mesh_2d, gspmd_train_step,
 from rcfd_tpu.parallel.optim import init_adam
 
 
+@pytest.mark.slow  # 137 s on one CPU core; the driver's dryrun_multichip
+# exercises the same 2-D GSPMD path every round
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
 def test_gspmd_2d_mesh_matches_single_device(rng):
     model = FusionNetModel(
