@@ -161,3 +161,63 @@ def test_packed_deconv1_skipped_when_not_2x(rng, monkeypatch):
     monkeypatch.setenv('RCFD_PACKED_TAIL', '0')
     out, _ = dec(params, state, latent, skips, training=False)
     assert out[-1].shape[1:3] == (66, 96)
+
+
+@pytest.mark.parametrize('use_bn,with_skip', [
+    (False, True), (True, True), (True, False)])
+def test_fast_decoder_block_matches_normal(use_bn, with_skip, rng,
+                                           monkeypatch):
+    """RCFD_FAST_DECODER (packed up-conv + split post-concat conv) must
+    reproduce the normal DecoderBlock output for exact-x2 upsamples."""
+    from rcfd_tpu.nn.layers import DecoderBlock
+
+    block = DecoderBlock(10, 6 if with_skip else 0, 8,
+                         use_batch_norm=use_bn, deconv_type='up')
+    params, state = block.init(jax.random.PRNGKey(19))
+    if use_bn:
+        def scramble(tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    scramble(v)
+                elif k == 'running_mean':
+                    tree[k] = jnp.asarray(
+                        rng.standard_normal(v.shape) * 0.1, jnp.float32)
+                elif k == 'running_var':
+                    tree[k] = jnp.asarray(
+                        0.5 + rng.random(v.shape), jnp.float32)
+        scramble(state)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 10)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((2, 12, 20, 6)), jnp.float32) \
+        if with_skip else None
+
+    monkeypatch.setenv('RCFD_FAST_DECODER', '0')
+    ref, _ = block(params, state, x, skip=skip, training=False)
+    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
+    out, _ = block(params, state, x, skip=skip, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fast_decoder_block_not_used_for_odd_resize(rng, monkeypatch):
+    """Non-2x targets must take the normal resize path."""
+    from rcfd_tpu.nn.layers import DecoderBlock
+    block = DecoderBlock(10, 0, 8, use_batch_norm=False, deconv_type='up')
+    params, state = block.init(jax.random.PRNGKey(23))
+    x = jnp.asarray(rng.standard_normal((1, 6, 10, 10)), jnp.float32)
+    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
+    y, _ = block(params, state, x, shape=(13, 21), training=False)
+    assert y.shape[1:3] == (13, 21)
+
+
+def test_fast_decoder_block_training_updates_bn(rng, monkeypatch):
+    """Training must take the live-BN path even when the gate env is on."""
+    from rcfd_tpu.nn.layers import DecoderBlock
+    block = DecoderBlock(10, 6, 8, use_batch_norm=True, deconv_type='up')
+    params, state = block.init(jax.random.PRNGKey(29))
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 10)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((2, 12, 20, 6)), jnp.float32)
+    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
+    _, new_state = block(params, state, x, skip=skip, training=True)
+    nbt0 = state['conv']['batch_norm']['num_batches_tracked']
+    nbt1 = new_state['conv']['batch_norm']['num_batches_tracked']
+    assert int(nbt1) == int(nbt0) + 1

@@ -3,7 +3,10 @@ exact serving shapes (K = B*K_points patches, bf16), slope method over an
 on-device lax.scan (cancels the relay's fixed dispatch overhead).
 
 All arrays are jit ARGUMENTS — closed-over constants get serialized into
-the HLO shipped to the remote compiler (minutes of host CPU).
+the HLO shipped to the remote compiler (minutes of host CPU). Each body
+consumes a FULL reduction of its output (a single-element slice lets XLA
+dead-code-eliminate most of a convolution) and perturbs its input via the
+carry so the scan body cannot be hoisted.
 
 Usage: python tools/rnstagebench.py [--k 256] [--stages pool2 deconv1 ...]
 """
@@ -89,10 +92,11 @@ def main():
             rng.integers(0, 1600, (B, KPF)).astype(np.float32)))
 
         def body(c, feat, x1, scale=scale, out_size=out_size):
-            p = roi_pool_column(feat * (1 + c * 1e-12), x1, box_width=288,
+            fp = (feat * (1 + c * 1e-12)).astype(feat.dtype)
+            p = roi_pool_column(fp, x1, box_width=288,
                                 box_y1=0, box_y2=900, spatial_scale=scale,
                                 output_size=out_size)
-            return p[0, 0, 0, 0].astype(jnp.float32)
+            return jnp.sum(p.astype(jnp.float32)) * 1e-24
 
         stages[name] = (body, (feat, x1))
 
@@ -109,8 +113,9 @@ def main():
         skip = arr(ss)
 
         def body(c, x, skip, blk=blk, p=p, s=s):
-            y, _ = blk(p, s, x * (1 + c * 1e-12), skip=skip)
-            return y[0, 0, 0, 0].astype(jnp.float32)
+            y, _ = blk(p, s, (x * (1 + c * 1e-12)).astype(x.dtype),
+                       skip=skip)
+            return jnp.sum(y.astype(jnp.float32)) * 1e-24
 
         stages[name] = (body, (x, skip))
 
@@ -123,10 +128,10 @@ def main():
 
     def body_tail(c, x):
         y = packed_decoder_tail(
-            x * (1 + c * 1e-12), deconv0, out_conv,
+            (x * (1 + c * 1e-12)).astype(x.dtype), deconv0, out_conv,
             {'deconv0': p0, 'output0': po},
             {'deconv0': s0, 'output0': so})
-        return y[0, 0, 0, 0].astype(jnp.float32)
+        return jnp.sum(y.astype(jnp.float32)) * 1e-24
 
     stages['tail'] = (body_tail, (x_tail,))
 
@@ -140,8 +145,9 @@ def main():
 
     def body_scatter(c, crops, xs_sc, zs, vd):
         d, r = scatter_quasi_dense_pallas(
-            crops * (1 + c * 1e-12), xs_sc, zs, vd, 900, 1600, (900, 288))
-        return d[0, 0] + r[0, 0]
+            (crops * (1 + c * 1e-12)).astype(crops.dtype), xs_sc, zs, vd,
+            900, 1600, (900, 288))
+        return (jnp.sum(d) + jnp.sum(r)) * 1e-24
 
     stages['scatter'] = (body_scatter, (crops, xs_sc, zs, vd))
 
