@@ -380,6 +380,18 @@ class DecoderBlock(Module):
         pc, sc = self.conv.init(k2)
         return {'deconv': pd, 'conv': pc}, {'deconv': sd, 'conv': sc}
 
+    def _split_conv_ok(self, training) -> bool:
+        """Gate for the concat-free post-conv (same env/backend policy as
+        _fast_up_ok; inference only)."""
+        import os
+        env = os.environ.get('RCFD_FAST_DECODER')
+        if env is not None:
+            if env == '0':
+                return False
+        elif jax.default_backend() not in ('tpu', 'axon'):
+            return False
+        return not training and self.conv.kernel_size == 3
+
     def _fast_up_ok(self, x, shape, training) -> bool:
         """Inference fast path for exact-x2 'up' blocks: the up-conv runs
         phase-PACKED on the pre-upsample grid (pack_upconv_kernel — same
@@ -444,6 +456,20 @@ class DecoderBlock(Module):
             deconv, s_deconv = self.deconv(params['deconv'], state['deconv'], x,
                                            shape=shape, training=training)
         if self.skip_channels > 0:
+            if self._split_conv_ok(training):
+                # split path for blocks whose upsample is NOT exact x2
+                # (e.g. 112 -> 225): the post-concat conv still avoids
+                # materializing the concat (~8% of block time on v5e)
+                from ..ops.packed_tail import effective_conv
+                w_mid, b_mid = effective_conv(self.conv, params['conv'],
+                                              state['conv'])
+                co = deconv.shape[-1]
+                y = F.conv2d(deconv, w_mid[:, :, :co], stride=1) + \
+                    F.conv2d(skip, w_mid[:, :, co:], stride=1)
+                y = y + b_mid.astype(y.dtype)
+                if self.conv.activation is not None:
+                    y = self.conv.activation(y)
+                return y, {'deconv': s_deconv, 'conv': state['conv']}
             concat = jnp.concatenate([deconv, skip], axis=-1)
         else:
             concat = deconv

@@ -221,3 +221,21 @@ def test_fast_decoder_block_training_updates_bn(rng, monkeypatch):
     nbt0 = state['conv']['batch_norm']['num_batches_tracked']
     nbt1 = new_state['conv']['batch_norm']['num_batches_tracked']
     assert int(nbt1) == int(nbt0) + 1
+
+
+def test_split_conv_path_matches_on_odd_resize(rng, monkeypatch):
+    """The concat-free post-conv must reproduce the normal block output
+    for a non-2x upsample (where the packed-up fast path doesn't apply)."""
+    from rcfd_tpu.nn.layers import DecoderBlock
+    block = DecoderBlock(10, 6, 8, use_batch_norm=True, deconv_type='up')
+    params, state = block.init(jax.random.PRNGKey(31))
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 10)), jnp.float32)
+    # 13 != 2*6: odd resize -> normal deconv + split conv2
+    skip = jnp.asarray(rng.standard_normal((2, 13, 21, 6)), jnp.float32)
+
+    monkeypatch.setenv('RCFD_FAST_DECODER', '0')
+    ref, _ = block(params, state, x, skip=skip, training=False)
+    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
+    out, _ = block(params, state, x, skip=skip, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
