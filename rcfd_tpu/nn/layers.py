@@ -380,15 +380,25 @@ class DecoderBlock(Module):
         pc, sc = self.conv.init(k2)
         return {'deconv': pd, 'conv': pc}, {'deconv': sd, 'conv': sc}
 
-    def _split_conv_ok(self, training) -> bool:
+    # The fast paths target the per-point PATCH decodes (many small
+    # windows: K>=64 x width<=144). On full-frame maps (width 400-800)
+    # they are throughput-neutral but RAISE peak temp memory (the split
+    # conv pair + depth_to_space relayout), which costs the batch-32
+    # FusionNet serving config to OOM — so wide maps keep the proven
+    # concat path.
+    _FAST_MAX_WIDTH = 256
+
+    def _split_conv_ok(self, training, out_width: int) -> bool:
         """Gate for the concat-free post-conv (same env/backend policy as
-        _fast_up_ok; inference only)."""
+        _fast_up_ok; inference only, narrow maps only)."""
         import os
         env = os.environ.get('RCFD_FAST_DECODER')
         if env is not None:
             if env == '0':
                 return False
         elif jax.default_backend() not in ('tpu', 'axon'):
+            return False
+        if out_width > self._FAST_MAX_WIDTH:
             return False
         return not training and self.conv.kernel_size == 3
 
@@ -411,6 +421,8 @@ class DecoderBlock(Module):
         if training or self.deconv_type != 'up':
             return False
         if self.deconv.conv.kernel_size != 3 or self.conv.kernel_size != 3:
+            return False
+        if 2 * x.shape[2] > self._FAST_MAX_WIDTH:
             return False
         return tuple(shape) == (2 * x.shape[1], 2 * x.shape[2])
 
@@ -456,7 +468,7 @@ class DecoderBlock(Module):
             deconv, s_deconv = self.deconv(params['deconv'], state['deconv'], x,
                                            shape=shape, training=training)
         if self.skip_channels > 0:
-            if self._split_conv_ok(training):
+            if self._split_conv_ok(training, deconv.shape[2]):
                 # split path for blocks whose upsample is NOT exact x2
                 # (e.g. 112 -> 225): the post-concat conv still avoids
                 # materializing the concat (~8% of block time on v5e)
