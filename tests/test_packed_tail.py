@@ -239,3 +239,30 @@ def test_split_conv_path_matches_on_odd_resize(rng, monkeypatch):
     out, _ = block(params, state, x, skip=skip, training=False)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fast_decoder_block_bf16_within_tolerance(rng, monkeypatch):
+    """The fast path must stay within bf16 rounding of the normal path
+    when both run in bf16 (the serving dtype)."""
+    from rcfd_tpu.nn.core import cast_tree
+    from rcfd_tpu.nn.layers import DecoderBlock
+
+    block = DecoderBlock(10, 6, 8, use_batch_norm=False, deconv_type='up')
+    params, state = block.init(jax.random.PRNGKey(37))
+    params = cast_tree(params, jnp.bfloat16)
+    state = cast_tree(state, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 10)), jnp.bfloat16)
+    skip = jnp.asarray(rng.standard_normal((2, 12, 20, 6)), jnp.bfloat16)
+
+    monkeypatch.setenv('RCFD_FAST_DECODER', '0')
+    ref, _ = block(params, state, x, skip=skip, training=False)
+    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
+    out, _ = block(params, state, x, skip=skip, training=False)
+    ref = np.asarray(ref, np.float32)
+    out = np.asarray(out, np.float32)
+    denom = np.maximum(np.abs(ref), 1e-2)
+    rel = np.abs(out - ref) / denom
+    # two valid bf16 accumulation orderings differ by a few ulps per op;
+    # bound the tail and the bulk separately
+    assert np.median(rel) < 0.01, np.median(rel)
+    assert np.percentile(rel, 99) < 0.06, np.percentile(rel, 99)

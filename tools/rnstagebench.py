@@ -107,8 +107,8 @@ def main():
         'deconv2': (128, 64, 64, (K, 112, 36, 128), (K, 225, 72, 64)),
         'deconv1': (64, 32, 32, (K, 225, 72, 64), (K, 450, 144, 32)),
     }
-    for name, (cin, cs, cout, xs, ss) in dec_cfgs.items():
-        blk, p, s = mk_block(cin, cs, cout, hash(name) % 1000)
+    for i, (name, (cin, cs, cout, xs, ss)) in enumerate(dec_cfgs.items()):
+        blk, p, s = mk_block(cin, cs, cout, 100 + i)
         x = arr(xs)
         skip = arr(ss)
 
