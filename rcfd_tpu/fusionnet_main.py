@@ -208,8 +208,12 @@ def train(train_image_path,
           device='tpu',
           n_thread=8,
           n_data_parallel: Optional[int] = None,
+          eval_batch_size: int = 1,
           seed: int = 0):
-    """Training loop (reference src/fusionnet_main.py:13-474)."""
+    """Training loop (reference src/fusionnet_main.py:13-474).
+    eval_batch_size: full-res frames per dispatch during validation
+    (identical metrics at any value; default 1 keeps HBM headroom while
+    optimizer state is resident)."""
 
     _apply_device_preference(device)
 
@@ -415,7 +419,8 @@ def train(train_image_path,
                         min_evaluate_depth=min_evaluate_depth,
                         max_evaluate_depth=max_evaluate_depth,
                         summary_writer=val_summary_writer,
-                        log_path=log_path)
+                        log_path=log_path,
+                        eval_batch_size=eval_batch_size)
 
                 if is_lead:
                     model.save_checkpoint(
@@ -431,7 +436,8 @@ def train(train_image_path,
         dataset=val_dataset, step=train_step, best_results=best_results,
         min_evaluate_depth=min_evaluate_depth,
         max_evaluate_depth=max_evaluate_depth,
-        summary_writer=val_summary_writer, log_path=log_path)
+        summary_writer=val_summary_writer, log_path=log_path,
+        eval_batch_size=eval_batch_size)
 
     if is_lead:
         model.save_checkpoint(
@@ -500,23 +506,44 @@ def _apply_device_preference(device: str):
         raise ValueError('unsupported device: {}'.format(device))
 
 
+def iter_forward_outputs(forward_fn, params, state, dataset,
+                         eval_batch_size: int):
+    """Drive the (batch-polymorphic) FusionNet forward over an inference
+    dataset, yielding per-frame (idx, sample_tuple, output_depth (H, W))
+    in order. The tail batch is padded by repeating its last sample so
+    one compiled shape serves the whole manifest; padded outputs are
+    dropped. Per-frame results identical to batch 1."""
+    n_sample = len(dataset)
+    bsz = max(1, min(eval_batch_size, n_sample))
+    for start in range(0, n_sample, bsz):
+        idxs = list(range(start, min(start + bsz, n_sample)))
+        samples = [dataset.get(i) for i in idxs]
+        n_real = len(samples)
+        padded = samples + [samples[-1]] * (bsz - n_real)
+        images = jnp.asarray(np.stack([s[0] for s in padded]))
+        depths = jnp.asarray(np.stack([s[1] for s in padded]))
+        responses = jnp.asarray(np.stack([s[2] for s in padded]))
+        outputs = np.asarray(
+            forward_fn(params, state, images, depths, responses))
+        for j, idx in enumerate(idxs):
+            yield idx, samples[j], outputs[j, :, :, 0]
+
+
 def validate(model, params, state, forward_fn, dataset, step, best_results,
              min_evaluate_depth, max_evaluate_depth, summary_writer,
-             log_path=None):
-    """Full-resolution validation (reference src/fusionnet_main.py:476-606)."""
+             log_path=None, eval_batch_size: int = 1):
+    """Full-resolution validation (reference src/fusionnet_main.py:476-606).
+    eval_batch_size frames go through one dispatch (identical per-frame
+    metrics at any value)."""
     n_sample = len(dataset)
     mae = np.zeros(n_sample)
     rmse = np.zeros(n_sample)
     imae = np.zeros(n_sample)
     irmse = np.zeros(n_sample)
 
-    for idx in range(n_sample):
-        image, depth, response, ground_truth = dataset.get(idx)
-        output_depth = forward_fn(
-            params, state,
-            jnp.asarray(image)[None], jnp.asarray(depth)[None],
-            jnp.asarray(response)[None])
-        output_depth = np.asarray(output_depth)[0, :, :, 0]
+    for idx, sample, output_depth in iter_forward_outputs(
+            forward_fn, params, state, dataset, eval_batch_size):
+        image, depth, response, ground_truth = sample
         gt = ground_truth[..., 0]
 
         # validation image panel for the first sample (the reference also
@@ -602,7 +629,7 @@ def run(restore_path,
         # Evaluation settings
         min_evaluate_depth=0.0,
         max_evaluate_depth=100.0,
-        eval_batch_size: int = 1):
+        eval_batch_size: int = 8):
     """Inference + evaluation over a manifest
     (reference src/fusionnet_main.py:608-896).
 

@@ -265,7 +265,7 @@ class TwoStagePipeline:
         if mesh is None:
             from .parallel.mesh import get_mesh
             mesh = get_mesh()
-        if getattr(self, '_forward_sharded_mesh', None) is not mesh:
+        if getattr(self, '_forward_sharded_mesh', None) != mesh:
             fwd = self._build_forward_batched()
             fn = shard_map(
                 fwd, mesh=mesh,

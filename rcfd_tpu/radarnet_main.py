@@ -287,6 +287,111 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
     return forward
 
 
+def make_forward_fn_batched(model: RadarNetModel, transforms: Transforms,
+                            image_height: int, image_width: int,
+                            threshold: float = 0.5):
+    """Frame-batched scatter inference: B frames per dispatch (identical
+    per-frame results to make_forward_fn — same kernels, mapped over the
+    batch). The bulk-inference surfaces (validate/run/the stage-1.5
+    bridge over ~34k frames) were per-frame in the reference
+    (src/radarnet_main.py:958) and dominated by dispatch overhead at
+    batch 1; this amortizes it and raises MXU occupancy on the small
+    stages. The per-point decode is chunked so its patch-pyramid peak
+    stays ~256 patches regardless of B (see pipeline.py)."""
+    patch_size = model.input_patch_size_image
+    pad = patch_size[1] // 2
+    env = os.environ.get('RCFD_PALLAS_SCATTER')
+    if env is not None:
+        use_pallas = env == '1'
+    else:
+        use_pallas = jax.default_backend() in ('tpu', 'axon')
+
+    @jax.jit
+    def forward(params, state, images, points, valid):
+        # images: (B, H, W, 3) unnormalized; points: (B, K, 3); valid: (B, K)
+        b, k = points.shape[0], points.shape[1]
+        (images_t,) = transforms.transform(
+            jax.random.PRNGKey(0), [images], random_transform_probability=0.0)
+        images_pad = jnp.pad(images_t, ((0, 0), (0, 0), (pad, pad), (0, 0)),
+                             mode='edge')
+        x_shifted = points[..., 0] + pad              # (B, K)
+        points_shifted = points.at[..., 0].set(x_shifted)
+        x1 = x_shifted - pad                          # (B, K)
+
+        pdtype = jax.tree_util.tree_leaves(params)[0].dtype
+        images_pad = images_pad.astype(pdtype)
+
+        env_chunks = os.environ.get('RCFD_DECODE_CHUNKS')
+        if env_chunks is not None:
+            n_chunks = max(1, int(env_chunks))
+        else:
+            n_chunks = max(1, (b * k) // 256)
+        while n_chunks > 1 and k % n_chunks != 0:
+            n_chunks -= 1
+
+        if n_chunks > 1:
+            responses, _ = model.apply_chunked(
+                params, state, images_pad, points_shifted, x1,
+                n_chunks=n_chunks, box_height=image_height, training=False,
+                return_logits=False)
+            crops = responses[..., 0]                 # (B, K, ph, pw)
+        else:
+            responses, _ = model.apply(
+                params, state, images_pad, points_shifted.reshape(b * k, 3),
+                x1, box_height=image_height, training=False,
+                return_logits=False)
+            crops = responses[..., 0].reshape(b, k, *responses.shape[1:3])
+
+        xs = x_shifted.astype(jnp.float32)
+        zs = points[..., 2].astype(jnp.float32)
+
+        from .ops.scatter_pallas import MAX_POINTS as _pallas_max_k
+
+        def scatter_one(args):
+            crops_i, xs_i, zs_i, valid_i = args
+            if use_pallas and k <= _pallas_max_k:
+                from .ops.scatter_pallas import scatter_quasi_dense_pallas
+                return scatter_quasi_dense_pallas(
+                    crops_i, xs_i, zs_i, valid_i, image_height=image_height,
+                    image_width=image_width, patch_size=patch_size,
+                    threshold=threshold)
+            return scatter_quasi_dense(
+                crops_i, xs_i, zs_i, valid_i, image_height=image_height,
+                image_width=image_width, patch_size=patch_size,
+                threshold=threshold)
+
+        depth_map, response_map = jax.lax.map(
+            scatter_one, (crops, xs, zs, valid))      # (B, H, W) each
+        return depth_map, response_map
+
+    return forward
+
+
+def iter_scatter_outputs(forward_fn_b, params, state, dataset,
+                         eval_batch_size: int):
+    """Drive a batched scatter forward over a RadarNetInferenceDataset,
+    yielding per-frame (idx, sample_tuple, depth_np, response_np) in
+    order. The tail batch is padded by repeating its last sample so one
+    compiled shape serves the whole manifest; padded outputs are
+    dropped. Per-frame results are identical to the batch-1 path."""
+    n_sample = len(dataset)
+    bsz = max(1, min(eval_batch_size, n_sample))
+    for start in range(0, n_sample, bsz):
+        idxs = list(range(start, min(start + bsz, n_sample)))
+        samples = [dataset.get(i) for i in idxs]
+        n_real = len(samples)
+        padded = samples + [samples[-1]] * (bsz - n_real)
+        images = jnp.asarray(np.stack([s[0] for s in padded]))
+        points = jnp.asarray(np.stack([s[1] for s in padded]))
+        valid = jnp.asarray(np.stack([s[2] for s in padded]))
+        depth_b, response_b = forward_fn_b(params, state, images, points,
+                                           valid)
+        depth_b = np.asarray(depth_b)
+        response_b = np.asarray(response_b)
+        for j, idx in enumerate(idxs):
+            yield idx, samples[j], depth_b[j], response_b[j]
+
+
 def train(train_image_path,
           train_radar_path,
           train_ground_truth_path,
@@ -340,9 +445,13 @@ def train(train_image_path,
           # Hardware settings
           n_thread=8,
           n_data_parallel: Optional[int] = None,
-          max_points_inference: int = 128,
+          max_points_inference: int = 0,
+          eval_batch_size: int = 1,
           seed: int = 0):
-    """Training loop (reference src/radarnet_main.py:18-532)."""
+    """Training loop (reference src/radarnet_main.py:18-532).
+    eval_batch_size: frames per dispatch during validation (identical
+    metrics at any value; default 1 keeps validation HBM headroom while
+    optimizer state is resident)."""
 
     if not os.path.exists(checkpoint_dirpath):
         os.makedirs(checkpoint_dirpath)
@@ -468,8 +577,8 @@ def train(train_image_path,
         image_height, image_width = sample_image.shape[0], sample_image.shape[1]
     else:
         image_height, image_width = 900, 1600
-    forward_fn = make_forward_fn(model, val_transforms, image_height,
-                                 image_width)
+    forward_fn = make_forward_fn_batched(model, val_transforms, image_height,
+                                         image_width)
     summary_forward = _make_summary_forward(
         model, val_transforms, tuple(patch_size),
         max_distance_correspondence)
@@ -547,7 +656,8 @@ def train(train_image_path,
                         step=train_step, best_results=best_results,
                         min_evaluate_depth=min_evaluate_depth,
                         max_evaluate_depth=max_evaluate_depth,
-                        summary_writer=val_summary_writer, log_path=log_path)
+                        summary_writer=val_summary_writer, log_path=log_path,
+                        eval_batch_size=eval_batch_size)
 
                 if is_lead:
                     model.save_checkpoint(
@@ -560,7 +670,8 @@ def train(train_image_path,
         dataset=val_dataset, step=train_step, best_results=best_results,
         min_evaluate_depth=min_evaluate_depth,
         max_evaluate_depth=max_evaluate_depth,
-        summary_writer=val_summary_writer, log_path=log_path)
+        summary_writer=val_summary_writer, log_path=log_path,
+        eval_batch_size=eval_batch_size)
 
     if is_lead:
         model.save_checkpoint(checkpoint_path.format(train_step), params,
@@ -570,9 +681,11 @@ def train(train_image_path,
 
 def validate(model, params, state, forward_fn, dataset, step, best_results,
              min_evaluate_depth, max_evaluate_depth, summary_writer,
-             log_path=None):
+             log_path=None, eval_batch_size: int = 1):
     """Scatter-inference validation with intersection metrics
-    (reference src/radarnet_main.py:593-787)."""
+    (reference src/radarnet_main.py:593-787). forward_fn must be the
+    frame-batched forward (make_forward_fn_batched); eval_batch_size
+    frames go through one dispatch with identical per-frame metrics."""
     n_sample = len(dataset)
     mae_i = np.zeros(n_sample)
     rmse_i = np.zeros(n_sample)
@@ -582,12 +695,10 @@ def validate(model, params, state, forward_fn, dataset, step, best_results,
     n_valid_gt = np.zeros(n_sample)
     n_valid_inter = np.zeros(n_sample)
 
-    for idx in range(n_sample):
-        image, points, valid, ground_truth = dataset.get(idx)
-        depth_map, response_map = forward_fn(
-            params, state, jnp.asarray(image)[None], jnp.asarray(points),
-            jnp.asarray(valid))
-        output_depth = np.asarray(depth_map)
+    for idx, data, output_depth, response_np in iter_scatter_outputs(
+            forward_fn, params, state, dataset, eval_batch_size):
+        image, points, valid, ground_truth = data
+        response_map = response_np
         gt = ground_truth[..., 0]
 
         # validation image panel for the first sample (reference logs
@@ -703,10 +814,13 @@ def run(restore_path,
         # Evaluation settings
         min_evaluate_depth=0.0,
         max_evaluate_depth=100.0,
-        max_points_inference: int = 128,
-        response_thr: float = 0.5):
+        max_points_inference: int = 0,
+        response_thr: float = 0.5,
+        eval_batch_size: int = 8):
     """Scatter inference over a manifest; writes quasi-dense depth +
-    response PNGs (reference src/radarnet_main.py:789-1101)."""
+    response PNGs (reference src/radarnet_main.py:789-1101).
+    eval_batch_size frames go through one dispatch (identical per-frame
+    outputs to batch 1; the reference loops frame-at-a-time)."""
 
     os.makedirs(output_dirpath, exist_ok=True)
     log_path = os.path.join(output_dirpath, 'results.txt')
@@ -746,8 +860,8 @@ def run(restore_path,
 
     sample_image = data_utils.load_image(image_paths[0])
     image_height, image_width = sample_image.shape[0], sample_image.shape[1]
-    forward_fn = make_forward_fn(model, transforms, image_height, image_width,
-                                 threshold=response_thr)
+    forward_fn_b = make_forward_fn_batched(
+        model, transforms, image_height, image_width, threshold=response_thr)
 
     if save_outputs:
         output_dirs = {
@@ -767,18 +881,12 @@ def run(restore_path,
     output_depth_paths = []
     output_response_paths = []
 
-    for idx in range(n_sample):
-        data = dataset.get(idx)
+    for idx, data, output_depth, output_response in iter_scatter_outputs(
+            forward_fn_b, params, state, dataset, eval_batch_size):
         if ground_truth_available:
             image, points, valid, ground_truth = data
         else:
             image, points, valid = data
-
-        depth_map, response_map = forward_fn(
-            params, state, jnp.asarray(image)[None], jnp.asarray(points),
-            jnp.asarray(valid))
-        output_depth = np.asarray(depth_map)
-        output_response = np.asarray(response_map)
 
         if verbose:
             print('Processed {}/{} samples'.format(idx + 1, n_sample), end='\r')

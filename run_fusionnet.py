@@ -43,7 +43,7 @@ parser.add_argument('--verbose', action='store_true')
 # Evaluation settings
 parser.add_argument('--min_evaluate_depth', type=float, default=0)
 parser.add_argument('--max_evaluate_depth', type=float, default=100)
-parser.add_argument('--eval_batch_size', type=int, default=1,
+parser.add_argument('--eval_batch_size', type=int, default=8,
                     help='Batch frames per dispatch (identical metrics)')
 
 

@@ -52,16 +52,18 @@ parser.add_argument('--keep_input_filenames', action='store_true')
 parser.add_argument('--verbose', action='store_true')
 parser.add_argument('--min_evaluate_depth', type=float, default=0.0)
 parser.add_argument('--max_evaluate_depth', type=float, default=80.0)
-parser.add_argument('--max_points_inference', type=int, default=128,
-                    help='static point-axis size; <= 0 auto-sizes '
-                         'from the radar manifest (no truncation)')
+parser.add_argument('--max_points_inference', type=int, default=0,
+                    help='static point-axis size; the default (<= 0) '
+                         'auto-sizes from the radar manifest so no frame '
+                         'is truncated; pass a positive cap to opt in '
+                         'to a fixed size')
 parser.add_argument('--batch_size', type=int, default=1,
                     help='frames per device step (the batched serving '
                          'path; 4 is the v5e sweet spot at K=64)')
 parser.add_argument('--data_parallel', action='store_true',
                     help='shard the frame batch over all devices '
-                         '(shard_map DP serving; batch_size must divide '
-                         'the device count evenly)')
+                         '(shard_map DP serving; batch_size must be '
+                         'divisible by the device count)')
 
 
 def main():

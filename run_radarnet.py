@@ -39,9 +39,15 @@ parser.add_argument('--verbose', action='store_true')
 # Evaluation settings
 parser.add_argument('--min_evaluate_depth', type=float, default=0)
 parser.add_argument('--max_evaluate_depth', type=float, default=100)
-parser.add_argument('--max_points_inference', type=int, default=128,
-                    help='static point-axis size; <= 0 auto-sizes '
-                         'from the radar manifest (no truncation)')
+parser.add_argument('--eval_batch_size', type=int, default=8,
+                    help='frames per device dispatch (identical '
+                         'per-frame outputs at any value)')
+parser.add_argument('--max_points_inference', type=int, default=0,
+                    help='static point-axis size; the default (<= 0) '
+                         'auto-sizes from the radar manifest so no frame '
+                         'is truncated (the reference processes every '
+                         'point); pass a positive cap to opt in to a '
+                         'fixed size')
 
 
 if __name__ == '__main__':
@@ -71,4 +77,5 @@ if __name__ == '__main__':
         verbose=args.verbose,
         min_evaluate_depth=args.min_evaluate_depth,
         max_evaluate_depth=args.max_evaluate_depth,
-        max_points_inference=args.max_points_inference)
+        max_points_inference=args.max_points_inference,
+        eval_batch_size=args.eval_batch_size)

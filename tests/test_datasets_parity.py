@@ -132,6 +132,50 @@ def test_inference_dataset_auto_sizes_max_points(tmp_path, rng):
     assert valid.sum() == 17
 
 
+def test_auto_size_is_the_default_no_truncation(tmp_path, rng):
+    """An over-128-point frame round-trips untruncated under the CLI
+    defaults (the reference processes every point,
+    src/radarnet_main.py:958-990); the static cap is opt-in only."""
+    import warnings
+    from PIL import Image
+    from rcfd_tpu.data.datasets import RadarNetInferenceDataset
+
+    # every inference-surface CLI now defaults to auto-size (<= 0);
+    # load by explicit path — reference_import puts /root/reference/src
+    # on sys.path, which shadows same-named scripts
+    import importlib.util
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def load(name, relpath):
+        spec = importlib.util.spec_from_file_location(
+            'ours_' + name, os.path.join(repo, relpath))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    for relpath in ('run_radarnet.py', 'run_pipeline.py',
+                    'train_radarnet.py'):
+        mod = load(relpath[:-3], relpath)
+        assert mod.parser.get_default('max_points_inference') <= 0, relpath
+    bridge = load('bridge', 'setup/setup_dataset_nuscenes_radarnet.py')
+    assert bridge.build_parser().get_default('max_points_inference') <= 0
+
+    img_path = str(tmp_path / 'f.png')
+    Image.fromarray(rng.integers(0, 255, (8, 8, 3)).astype('uint8')).save(
+        img_path)
+    radar_path = str(tmp_path / 'big.npy')
+    pts = rng.random((200, 3)).astype(np.float32)
+    np.save(radar_path, pts)
+
+    ds = RadarNetInferenceDataset([img_path], [radar_path], max_points=None)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', RuntimeWarning)  # truncation warns
+        _, points, valid = ds.get(0)
+    assert valid.sum() == 200
+    np.testing.assert_array_equal(points[:200], pts)
+
+
 def test_radarnet_get_batch_matches_per_sample(tmp_path, rng, monkeypatch):
     """RadarNet training batched decode must reproduce per-sample batches
     exactly (PNG-backed images), incl. the identical RNG streams."""

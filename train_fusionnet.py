@@ -87,6 +87,9 @@ parser.add_argument('--n_thread', type=int, default=10)
 parser.add_argument('--n_data_parallel', type=int, default=None,
                     help='Number of devices on the data mesh axis '
                          '(default: all)')
+parser.add_argument('--eval_batch_size', type=int, default=1,
+                    help='validation frames per dispatch (identical '
+                         'metrics at any value)')
 parser.add_argument('--seed', type=int, default=0)
 
 
@@ -151,4 +154,5 @@ if __name__ == '__main__':
         device=args.device,
         n_thread=args.n_thread,
         n_data_parallel=args.n_data_parallel,
+        eval_batch_size=args.eval_batch_size,
         seed=args.seed)

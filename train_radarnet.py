@@ -73,7 +73,10 @@ parser.add_argument('--max_evaluate_depth', type=float, default=100)
 # Hardware settings
 parser.add_argument('--n_thread', type=int, default=10)
 parser.add_argument('--n_data_parallel', type=int, default=None)
-parser.add_argument('--max_points_inference', type=int, default=128)
+parser.add_argument('--max_points_inference', type=int, default=0)
+parser.add_argument('--eval_batch_size', type=int, default=1,
+                    help='validation frames per dispatch (identical '
+                         'metrics at any value)')
 parser.add_argument('--seed', type=int, default=0)
 
 
@@ -127,4 +130,5 @@ if __name__ == '__main__':
         n_thread=args.n_thread,
         n_data_parallel=args.n_data_parallel,
         max_points_inference=args.max_points_inference,
+        eval_batch_size=args.eval_batch_size,
         seed=args.seed)
