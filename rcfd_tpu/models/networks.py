@@ -6,6 +6,7 @@ parameter-tree naming 1:1 with the reference's torch state_dicts.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -322,11 +323,24 @@ class RadarNetV1Encoder(Module):
             latent_image, x1, box_width=patch_w, box_y1=0, box_y2=box_height,
             spatial_scale=1 / 32., output_size=(latent_height, latent_width))
 
+        # pool2 -> deconv1 fusion: defer the (largest) 1/2-scale pool to a
+        # LazyColumnWindows so the decoder can gather windows of
+        # conv(G) directly into its skip add (ops/fused_skip.py) instead
+        # of materializing K windows + convolving them. Consumers that
+        # cannot fuse materialize() — identical values either way.
+        # OPT-IN (RCFD_FUSED_POOL2=1): the formulation wins 2x at the op
+        # level (8.92 -> 4.27 ms, docs/PERF.md round-3) but measured
+        # NEUTRAL-to-SLOWER inside the full model graph, where XLA stops
+        # fusing the window gather into the consumer add.
+        fuse_pool2 = os.environ.get('RCFD_FUSED_POOL2') == '1' \
+            and not training and skip_sizes[0][1] <= 256
+
         skips_pooled = []
         for idx, skip in enumerate(skips_image):
             skips_pooled.append(roi_pool_column(
                 skip, x1, box_width=patch_w, box_y1=0, box_y2=box_height,
-                spatial_scale=skip_scales[idx], output_size=skip_sizes[idx]))
+                spatial_scale=skip_scales[idx], output_size=skip_sizes[idx],
+                return_global=(fuse_pool2 and idx == 0)))
 
         latent_depth, new_state_depth = self.children['encoder_depth'](
             params['encoder_depth'], state['encoder_depth'], points,
@@ -548,8 +562,15 @@ class MultiScaleDecoder(Module):
             upsample_output3 = F.resize_bilinear_align_corners(
                 outputs[-1], (2 * h, 2 * w))
 
+        def _concat_skip(sk, up):
+            # decoder-level concats need materialized windows
+            from ..ops.fused_skip import LazyColumnWindows
+            if isinstance(sk, LazyColumnWindows):
+                sk = sk.materialize()
+            return jnp.concatenate([sk, up], axis=-1)
+
         n -= 1
-        skip = (jnp.concatenate([skips[n], upsample_output3], axis=-1)
+        skip = (_concat_skip(skips[n], upsample_output3)
                 if self.n_resolution > 3 else skips[n])
         layers.append(run('deconv2', layers[-1], skip=skip))
 
@@ -560,7 +581,7 @@ class MultiScaleDecoder(Module):
                 outputs[-1], (2 * h, 2 * w))
 
         n -= 1
-        skip = (jnp.concatenate([skips[n], upsample_output2], axis=-1)
+        skip = (_concat_skip(skips[n], upsample_output2)
                 if self.n_resolution > 2 else skips[n])
         if self._packed_deconv1_ok(layers[-1], skip, training):
             from ..ops.packed_tail import packed_decoder_block
@@ -582,7 +603,7 @@ class MultiScaleDecoder(Module):
             output0 = upsample_output1
         else:
             if self.n_resolution > 1:
-                skip = (jnp.concatenate([skips[n], upsample_output1], axis=-1)
+                skip = (_concat_skip(skips[n], upsample_output1)
                         if n == 0 else upsample_output1)
                 layers.append(run('deconv0', layers[-1], skip=skip))
                 output0 = run_conv('output0', layers[-1])
@@ -625,6 +646,9 @@ class MultiScaleDecoder(Module):
         opt-in (RCFD_PACKED_DECONV1=1), like RCFD_FUSED_UPSAMPLE."""
         import os
         if os.environ.get('RCFD_PACKED_DECONV1', '0') != '1':
+            return False
+        from ..ops.fused_skip import LazyColumnWindows
+        if isinstance(skip, LazyColumnWindows):
             return False
         if training or self.deconv_type != 'up':
             return False

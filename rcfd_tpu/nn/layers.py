@@ -441,10 +441,18 @@ class DecoderBlock(Module):
         co = w_up.shape[-1]
         y1 = depth_to_space(y, co)
         if self.skip_channels > 0:
-            # conv(concat([y1, skip]), W) == conv(y1, W[:cin_y]) +
-            # conv(skip, W[cin_y:]) — the concat never materializes
-            y2 = F.conv2d(y1, w_mid[:, :, :co], stride=1) + \
-                F.conv2d(skip, w_mid[:, :, co:], stride=1)
+            from ..ops.fused_skip import (LazyColumnWindows,
+                                          fused_skip_conv_add)
+            if isinstance(skip, LazyColumnWindows):
+                # pool2->deconv1 fusion: skip-conv once on the global
+                # map, Pallas gather-add of its windows (fused_skip.py)
+                a = F.conv2d(y1, w_mid[:, :, :co], stride=1)
+                y2 = fused_skip_conv_add(a, skip, w_mid[:, :, co:])
+            else:
+                # conv(concat([y1, skip]), W) == conv(y1, W[:cin_y]) +
+                # conv(skip, W[cin_y:]) — the concat never materializes
+                y2 = F.conv2d(y1, w_mid[:, :, :co], stride=1) + \
+                    F.conv2d(skip, w_mid[:, :, co:], stride=1)
         else:
             y2 = F.conv2d(y1, w_mid, stride=1)
         y2 = y2 + b_mid.astype(y2.dtype)
@@ -468,20 +476,28 @@ class DecoderBlock(Module):
             deconv, s_deconv = self.deconv(params['deconv'], state['deconv'], x,
                                            shape=shape, training=training)
         if self.skip_channels > 0:
+            from ..ops.fused_skip import LazyColumnWindows
             if self._split_conv_ok(training, deconv.shape[2]):
                 # split path for blocks whose upsample is NOT exact x2
                 # (e.g. 112 -> 225): the post-concat conv still avoids
                 # materializing the concat (~8% of block time on v5e)
+                from ..ops.fused_skip import fused_skip_conv_add
                 from ..ops.packed_tail import effective_conv
                 w_mid, b_mid = effective_conv(self.conv, params['conv'],
                                               state['conv'])
                 co = deconv.shape[-1]
-                y = F.conv2d(deconv, w_mid[:, :, :co], stride=1) + \
-                    F.conv2d(skip, w_mid[:, :, co:], stride=1)
+                if isinstance(skip, LazyColumnWindows):
+                    a = F.conv2d(deconv, w_mid[:, :, :co], stride=1)
+                    y = fused_skip_conv_add(a, skip, w_mid[:, :, co:])
+                else:
+                    y = F.conv2d(deconv, w_mid[:, :, :co], stride=1) + \
+                        F.conv2d(skip, w_mid[:, :, co:], stride=1)
                 y = y + b_mid.astype(y.dtype)
                 if self.conv.activation is not None:
                     y = self.conv.activation(y)
                 return y, {'deconv': s_deconv, 'conv': state['conv']}
+            if isinstance(skip, LazyColumnWindows):
+                skip = skip.materialize()
             concat = jnp.concatenate([deconv, skip], axis=-1)
         else:
             concat = deconv

@@ -86,7 +86,8 @@ def pool_rows_static(feat, box_y1: int, box_y2: int, spatial_scale: float,
 
 
 def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
-                    spatial_scale: float, output_size: Tuple[int, int]):
+                    spatial_scale: float, output_size: Tuple[int, int],
+                    return_global: bool = False):
     """ROI max pool for full-height fixed-width column boxes.
 
     Arg(s):
@@ -97,10 +98,16 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
         box_y1, box_y2 : static vertical box extent in input coords
         spatial_scale : feature scale (e.g. 1/32)
         output_size : (pooled_h, pooled_w)
+        return_global : if the constant-bin fast path applies, return the
+            pool as a LazyColumnWindows (global 2-tap-max map + starts)
+            instead of materialized windows — the pool2->deconv1 fusion
+            consumes it (ops/fused_skip.py); materialize() reproduces
+            the standard result exactly. Falls back to materialized
+            windows when the fast path does not apply.
     Returns:
         (N * K, pooled_h, pooled_w, C) pooled features, ordered like
         torchvision.ops.roi_pool with a list of per-image boxes
-        (image-major).
+        (image-major); or a LazyColumnWindows (see return_global).
     """
     n, h_f, w_f, c = feat.shape
     k = x1.shape[1]
@@ -146,6 +153,13 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
         g = jnp.pad(g, ((0, 0), (0, 0), (0, pooled_w), (0, 0)),
                     constant_values=neg_inf)
         start = jnp.clip(roi_start_w, 0, w_f)
+
+        if return_global:
+            from .fused_skip import LazyColumnWindows
+            # zero the -inf apron up front: windows of the finite map
+            # are identical to windowing then where(isfinite, ., 0)
+            g0 = jnp.where(jnp.isfinite(g), g, 0).astype(rows.dtype)
+            return LazyColumnWindows(g0, start.astype(jnp.int32), pooled_w)
 
         def window_one(g_n, s_k):
             return jax.lax.dynamic_slice(

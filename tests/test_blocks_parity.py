@@ -15,6 +15,8 @@ from rcfd_tpu.utils.checkpoint import conform_to_template, \
 
 from reference_import import import_reference
 
+pytestmark = pytest.mark.smoke
+
 
 def _load(module, our_module, params_template=None):
     """Transfer torch module weights into our layer's param tree."""

@@ -5,6 +5,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from rcfd_tpu.ops.crop_pallas import batch_column_crop
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_crop_matches_numpy(rng):

@@ -44,6 +44,7 @@ def test_fusionnet_inference_dataset_parity(tmp_path):
             np.testing.assert_array_equal(np.transpose(o, (2, 0, 1)), r)
 
 
+@pytest.mark.smoke
 def test_radarnet_inference_dataset_parity(tmp_path):
     ref_datasets = import_reference('datasets')
     manifests = make_radarnet_fixture(str(tmp_path), n_samples=2,
@@ -132,6 +133,7 @@ def test_inference_dataset_auto_sizes_max_points(tmp_path, rng):
     assert valid.sum() == 17
 
 
+@pytest.mark.smoke
 def test_auto_size_is_the_default_no_truncation(tmp_path, rng):
     """An over-128-point frame round-trips untruncated under the CLI
     defaults (the reference processes every point,

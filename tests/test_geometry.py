@@ -1,6 +1,7 @@
 """Geometry kernel tests: quaternions, pose chains, projection round-trip,
 z-buffer merge semantics."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -11,6 +12,9 @@ from rcfd_tpu.geometry import (backproject_to_camera, camera_to_sensor_matrix,
                                quaternion_to_rotation_matrix,
                                sensor_to_camera_matrix, transform_points,
                                view_points, z_buffer_merge)
+
+
+pytestmark = pytest.mark.smoke
 
 
 def _random_quat(rng):

@@ -9,8 +9,10 @@ from rcfd_tpu.data import io as data_utils
 from rcfd_tpu import native
 
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason='native toolchain unavailable')
+pytestmark = [
+    pytest.mark.smoke,
+    pytest.mark.skipif(not native.available(),
+                       reason='native toolchain unavailable')]
 
 
 def test_depth_roundtrip_native_reads_pil(tmp_path, rng):

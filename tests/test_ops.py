@@ -9,6 +9,8 @@ from rcfd_tpu.ops import roi_pool, roi_pool_column, scatter_quasi_dense
 
 from reference_import import torch_roi_pool
 
+pytestmark = pytest.mark.smoke
+
 
 def _column_boxes(x1, box_w, box_h):
     """(N, K) left edges -> list of (K, 4) torch boxes."""

@@ -4,6 +4,9 @@ and the console entry point resolves to a callable."""
 import importlib
 import os
 import tomllib
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -11,6 +11,8 @@ from rcfd_tpu.models import FusionNetModel
 
 from reference_import import import_reference
 
+pytestmark = pytest.mark.smoke
+
 CONFIG = dict(
     input_channels_image=3,
     input_channels_depth=2,

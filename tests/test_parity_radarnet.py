@@ -100,6 +100,7 @@ def test_radarnet_forward_parity(tmp_path, encoder_type, decoder_type):
         np.asarray(logits)[..., 0], ref_logits[:, 0], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_radarnet_loss_parity(tmp_path):
     import torch
     ref, ours, params, state = _build_pair(

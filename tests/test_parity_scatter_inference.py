@@ -18,6 +18,7 @@ PATCH = (64, 64)
 H, W = 64, 96
 
 
+@pytest.mark.smoke
 def test_scatter_inference_full_chain_parity(tmp_path, rng):
     import torch
     radarnet_model = import_reference('radarnet_model')

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from rcfd_tpu.geometry import (compose, points_to_depth_map, pose_matrix,
                                project_points_to_image)
+import pytest
+
 from rcfd_tpu.geometry.reproject import (merge_neighbor_into_main,
                                          reproject_depth_map)
 
@@ -78,6 +80,7 @@ def test_mover_masks_drop_points():
     assert re[:, :W // 2 - 1].sum() == 0  # nothing lifted from masked region
 
 
+@pytest.mark.smoke
 def test_merge_keeps_nearer_depth():
     main = np.zeros((H, W), np.float32)
     main[10, 10] = 20.0

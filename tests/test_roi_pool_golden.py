@@ -78,6 +78,7 @@ def test_general_roi_pool_matches_cpp_golden(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_row_bin_f32_overshoot_matches_golden(rng):
     """At 1/8 scale (roi_h = 114 over 112 bins) torchvision's FLOAT32 bin
     arithmetic makes bin 55 span THREE rows ([55, 58)); float64 math gives

@@ -17,6 +17,7 @@ def _case(rng, k=6, h=40, w=64, ph=24, pw=16):
     return crops, x, z
 
 
+@pytest.mark.smoke
 def test_pallas_scatter_matches_xla(rng):
     crops, x, z = _case(rng)
     h, w, ph, pw = 40, 64, 24, 16

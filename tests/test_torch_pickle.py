@@ -60,6 +60,7 @@ def test_reads_bfloat16(tmp_path, rng):
     np.testing.assert_array_equal(loaded['t'], t.float().numpy())
 
 
+@pytest.mark.smoke
 def test_blocks_malicious_globals(tmp_path):
     """The torch-free reader must reject any global outside the closed
     allowlist — a crafted .pth must not reach os.system/builtins.eval."""

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from rcfd_tpu.data.transforms import Transforms
 
+pytestmark = pytest.mark.smoke
+
 
 def _run(noise_type, spread, p, rng):
     t = Transforms(normalized_image_range=[0, 255],

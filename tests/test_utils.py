@@ -6,10 +6,13 @@ import pickle
 import subprocess
 import sys
 
+import pytest
 import numpy as np
 
 from rcfd_tpu.utils.log_utils import colorize, log
 from rcfd_tpu.utils.profiling import StepTimer, find_latest_checkpoint
+
+pytestmark = pytest.mark.smoke
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
