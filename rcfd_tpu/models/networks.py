@@ -614,7 +614,13 @@ class MultiScaleDecoder(Module):
                     target = tuple(shape[-2:]) if shape is not None else \
                         (2 * layers[-1].shape[1], 2 * layers[-1].shape[2])
                 if self._packed_tail_ok(layers[-1], target, training):
-                    from ..ops.packed_tail import packed_decoder_tail
+                    if os.environ.get('RCFD_INT8_TAIL') == '1':
+                        # opt-in int8 fast mode (approximate — breaks
+                        # 14-bit response parity; docs/PERF.md)
+                        from ..ops.packed_tail import \
+                            packed_decoder_tail_int8 as packed_decoder_tail
+                    else:
+                        from ..ops.packed_tail import packed_decoder_tail
                     output0 = packed_decoder_tail(
                         layers[-1], self.children['deconv0'],
                         self.children['output0'], params, state)

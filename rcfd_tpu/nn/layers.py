@@ -388,6 +388,15 @@ class DecoderBlock(Module):
     # concat path.
     _FAST_MAX_WIDTH = 256
 
+    def _fast_max_width(self) -> int:
+        """Width cap for the fast decoder paths; RCFD_FAST_MAX_WIDTH
+        overrides (wide full-frame maps raise peak temp memory — see the
+        class comment — so widening the gate trades OOM headroom for
+        speed at smaller batches)."""
+        import os
+        env = os.environ.get('RCFD_FAST_MAX_WIDTH')
+        return int(env) if env else self._FAST_MAX_WIDTH
+
     def _split_conv_ok(self, training, out_width: int) -> bool:
         """Gate for the concat-free post-conv (same env/backend policy as
         _fast_up_ok; inference only, narrow maps only)."""
@@ -398,7 +407,7 @@ class DecoderBlock(Module):
                 return False
         elif jax.default_backend() not in ('tpu', 'axon'):
             return False
-        if out_width > self._FAST_MAX_WIDTH:
+        if out_width > self._fast_max_width():
             return False
         return not training and self.conv.kernel_size == 3
 
@@ -422,7 +431,7 @@ class DecoderBlock(Module):
             return False
         if self.deconv.conv.kernel_size != 3 or self.conv.kernel_size != 3:
             return False
-        if 2 * x.shape[2] > self._FAST_MAX_WIDTH:
+        if 2 * x.shape[2] > self._fast_max_width():
             return False
         return tuple(shape) == (2 * x.shape[1], 2 * x.shape[2])
 

@@ -214,3 +214,51 @@ def packed_decoder_tail(x, deconv0, output0, params, state):
         y = act_out(y)
 
     return depth_to_space(y, w_out.shape[-1])
+
+
+def _int8_conv(y, w, b, act):
+    """3x3 stride-1 conv with dynamic int8 quantization: per-tensor
+    activation scale (max-abs), per-output-channel weight scales, int32
+    MXU accumulation, f32 dequant + bias + activation. ~2x the bf16 MXU
+    rate on v5e; NOT bit-comparable to the f32/bf16 path (opt-in only —
+    breaks the 14-bit response-codec parity)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    yf = y.astype(jnp.float32)
+    sy = jnp.maximum(jnp.max(jnp.abs(yf)), 1e-12) / 127.0
+    yq = jnp.clip(jnp.round(yf / sy), -127, 127).astype(jnp.int8)
+    wf = w.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        yq, wq, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (sy * sw)
+    out = out + _tile_bias(b).astype(out.dtype)
+    if act is not None:
+        out = act(out)
+    return out.astype(y.dtype)
+
+
+def packed_decoder_tail_int8(x, deconv0, output0, params, state):
+    """packed_decoder_tail with the three phase-packed convs quantized to
+    int8 (RCFD_INT8_TAIL=1). Same structure and shapes; accuracy is
+    approximate (dynamic per-tensor activation scales), so this is an
+    opt-in serving mode only — never a default."""
+    up_conv = deconv0.deconv.conv
+    mid_conv = deconv0.conv
+    w_up, b_up = effective_conv(up_conv, params['deconv0']['deconv']['conv'],
+                                state['deconv0']['deconv']['conv'])
+    w_mid, b_mid = effective_conv(mid_conv, params['deconv0']['conv'],
+                                  state['deconv0']['conv'])
+    w_out, b_out = effective_conv(output0, params['output0'],
+                                  state['output0'])
+
+    y = _int8_conv(x, pack_upconv_kernel(w_up), b_up, up_conv.activation)
+    y = _int8_conv(y, pack_fullres_kernel(w_mid), b_mid,
+                   mid_conv.activation)
+    y = _int8_conv(y, pack_fullres_kernel(w_out), b_out,
+                   output0.activation)
+    return depth_to_space(y, w_out.shape[-1])

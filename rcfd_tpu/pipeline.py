@@ -175,14 +175,19 @@ class TwoStagePipeline:
             x1 = x_shifted - pad                        # (B, K)
 
             # chunk the per-point decode so its patch-pyramid peak memory
-            # stays at ~256 patches regardless of the frame batch (B >= 6
-            # otherwise hits the HBM ceiling); RCFD_DECODE_CHUNKS overrides
+            # stays at ~512 patches regardless of the frame batch.
+            # Measured round-3 (K=64): chunking always hurts at <= 512
+            # patches (B=8 chunks 1/2/4 = 44.6/49.5/53.7 ms/frame; B=4
+            # chunks 1/2 = 44.5/48.4) and B=8 unchunked now fits since
+            # the width-gated fast decoder freed HBM — the 512 threshold
+            # keeps the protection for large auto-sized K only.
+            # RCFD_DECODE_CHUNKS overrides
             import os as _os
             env_chunks = _os.environ.get('RCFD_DECODE_CHUNKS')
             if env_chunks is not None:
                 n_chunks = max(1, int(env_chunks))
             else:
-                n_chunks = max(1, (b * k) // 256)
+                n_chunks = max(1, (b * k) // 512)
             while n_chunks > 1 and k % n_chunks != 0:
                 n_chunks -= 1
 

@@ -325,7 +325,7 @@ def make_forward_fn_batched(model: RadarNetModel, transforms: Transforms,
         if env_chunks is not None:
             n_chunks = max(1, int(env_chunks))
         else:
-            n_chunks = max(1, (b * k) // 256)
+            n_chunks = max(1, (b * k) // 512)
         while n_chunks > 1 and k % n_chunks != 0:
             n_chunks -= 1
 

@@ -266,3 +266,24 @@ def test_fast_decoder_block_bf16_within_tolerance(rng, monkeypatch):
     # bound the tail and the bulk separately
     assert np.median(rel) < 0.01, np.median(rel)
     assert np.percentile(rel, 99) < 0.06, np.percentile(rel, 99)
+
+
+def test_int8_tail_approximates_f32(rng, monkeypatch):
+    """RCFD_INT8_TAIL=1: the int8-quantized packed tail must track the
+    f32 tail within dynamic-quantization error (opt-in fast mode; never
+    bit-exact, so only a loose relative tolerance is contractual)."""
+    dec = _mk_decoder(False)
+    params, state = dec.init(jax.random.PRNGKey(7))
+    latent, skips = _inputs(rng)
+
+    monkeypatch.setenv('RCFD_PACKED_TAIL', '1')
+    monkeypatch.delenv('RCFD_INT8_TAIL', raising=False)
+    ref, _ = dec(params, state, latent, skips, training=False)
+    monkeypatch.setenv('RCFD_INT8_TAIL', '1')
+    out, _ = dec(params, state, latent, skips, training=False)
+
+    ref_l = np.asarray(ref[-1])
+    out_l = np.asarray(out[-1])
+    scale = np.abs(ref_l).max() + 1e-6
+    err = np.abs(out_l - ref_l).max() / scale
+    assert err < 0.05, f'int8 tail relative error {err:.4f}'
