@@ -455,8 +455,8 @@ class DecoderBlock(Module):
             if isinstance(skip, LazyColumnWindows):
                 # pool2->deconv1 fusion: skip-conv once on the global
                 # map, Pallas gather-add of its windows (fused_skip.py)
-                a = F.conv2d(y1, w_mid[:, :, :co], stride=1)
-                y2 = fused_skip_conv_add(a, skip, w_mid[:, :, co:])
+                y2 = fused_skip_conv_add(y1, w_mid[:, :, :co], skip,
+                                         w_mid[:, :, co:])
             else:
                 # conv(concat([y1, skip]), W) == conv(y1, W[:cin_y]) +
                 # conv(skip, W[cin_y:]) — the concat never materializes
@@ -496,8 +496,8 @@ class DecoderBlock(Module):
                                               state['conv'])
                 co = deconv.shape[-1]
                 if isinstance(skip, LazyColumnWindows):
-                    a = F.conv2d(deconv, w_mid[:, :, :co], stride=1)
-                    y = fused_skip_conv_add(a, skip, w_mid[:, :, co:])
+                    y = fused_skip_conv_add(deconv, w_mid[:, :, :co],
+                                            skip, w_mid[:, :, co:])
                 else:
                     y = F.conv2d(deconv, w_mid[:, :, :co], stride=1) + \
                         F.conv2d(skip, w_mid[:, :, co:], stride=1)

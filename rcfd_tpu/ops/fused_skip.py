@@ -14,13 +14,16 @@ W[:, 2] against G[:, s+pw] at column pw-1 (docs/PERF.md round-3 lever 1).
 Computing conv_b ONCE on G (~1/8 of the per-window FLOPs) and gathering
 windows of the RESULT directly into the add eliminates both the pooled
 skip materialization (pool2's window write, ~1 GB/frame lane-padded) and
-conv_b's read of it. XLA does not fuse the vmapped dynamic-slice gather
-into the consumer add (measured — it materializes the gather), so the
-gather+add runs as a Pallas kernel on TPU: per (point, row-tile) program,
-one sliced HBM->VMEM DMA of the conv(G) window plus a VMEM add against
-the block-mapped conv_a term. Boundary corrections are computed in f32
-(bf16 cancellation leaves ~eps-relative error, measured) outside the
-kernel — they are K one-column tensors, negligible traffic.
+conv_b's read of it. The fast path is the plain-XLA formulation
+(_fused_xla, 4.2 ms vs the 9.0 ms split-conv baseline at serving
+shapes): XLA fuses the vmapped dynamic-slice gather into the consumer
+add at op level. A Pallas gather-add kernel (_fused_pallas) is kept as
+an opt-in correctness artifact only — every measured variant (block
+pipeline, double-buffered DMA, fully manual streaming) trails XLA on
+program/DMA overheads (docs/PERF.md round-3 negative results).
+Boundary corrections are computed in f32 (bf16 cancellation leaves
+~eps-relative error, measured) — they are K one-column tensors,
+negligible traffic.
 
 Replaces (faster, tolerance-level like RCFD_FAST_DECODER):
 reference torchvision.ops.roi_pool + conv composition,
@@ -248,33 +251,44 @@ def _fused_pallas(a, cg, lazy: LazyColumnWindows, corr_l, corr_r,
     )(starts_flat, a, corr_l, corr_r, cg)
 
 
-def fused_skip_conv_add(a, lazy: LazyColumnWindows, w_skip,
+def fused_skip_conv_add(y1, w_a, lazy: LazyColumnWindows, w_skip,
                         use_pallas: bool = None, interpret: bool = False):
-    """a + conv2d(lazy.materialize(), w_skip) without materializing the
-    windows: conv once on the global map, gather-add windows of the
-    result with exact one-column boundary corrections (f32).
+    """conv2d(y1, w_a) + conv2d(lazy.materialize(), w_skip) without
+    materializing the windows: conv once on the global map, gather-add
+    windows of the result with exact one-column boundary corrections
+    (f32).
+
+    Owns the conv_a term too (not just the skip half) so the whole
+    split-conv replacement lives behind one call and future kernel
+    variants can choose the conv_a output layout (a manual-DMA Pallas
+    attempt needed 128-lane operands via weight padding; it measured
+    slower and was dropped — docs/PERF.md round-3 negative results).
 
     Arg(s):
-        a : (N*K, ph, pw, Co) the conv_a(up) term (pre-bias)
+        y1 : (N*K, ph, pw, Ci) the upsampled per-point features
+        w_a : (3, 3, Ci, Co) HWIO conv kernel for the y1 term (no bias)
         lazy : LazyColumnWindows for the 1/2-scale skip
         w_skip : (3, 3, C, Co) HWIO skip conv kernel (no bias)
     Returns:
-        (N*K, ph, pw, Co), a.dtype
+        (N*K, ph, pw, Co), y1.dtype
     """
     from ..nn import functional as F
 
     if use_pallas is None:
-        # measured on v5e (tools/fusedskip_bench.py, K=64 serving shapes,
-        # bf16): baseline gather+conv+add 8.92 ms, XLA fused (conv-on-G,
-        # materialized gather) 4.27 ms, Pallas gather-add 10.86 ms — the
-        # per-(point, row-tile) DMA is latency-bound without manual
-        # double buffering. The algebra (conv once on G) is the win, not
-        # the gather fusion; XLA is the default, Pallas stays opt-in.
+        # measured on v5e (tools/fusedskip_bench.py, K=64 serving
+        # shapes, bf16): baseline split conv + materialized windows
+        # 9.0 ms, XLA fused (conv-on-G + gather into the add) 4.2 ms,
+        # best Pallas variant 9.36 ms (block-pipeline/DMA overheads —
+        # docs/PERF.md round-3 negative results). XLA is the fast path;
+        # the kernel stays as an opt-in correctness artifact.
         use_pallas = os.environ.get('RCFD_FUSED_POOL2_PALLAS') == '1'
 
+    co = w_a.shape[-1]
+    a = F.conv2d(y1, w_a.astype(y1.dtype), stride=1)
     cg = F.conv2d(lazy.g, w_skip.astype(lazy.g.dtype), stride=1)
     corr_l, corr_r = _corrections(lazy, w_skip)
     if use_pallas:
-        return _fused_pallas(a, cg, lazy, corr_l, corr_r,
-                             interpret=interpret)
+        out = _fused_pallas(a, cg, lazy, corr_l, corr_r,
+                            interpret=interpret)
+        return out[..., :co]
     return _fused_xla(a, cg, lazy, corr_l, corr_r)

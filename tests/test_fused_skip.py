@@ -35,11 +35,15 @@ def _make_case(rng, n=2, k=5, h=64, w=96, c=8, co=6, patch_w=32):
     w_skip = (rng.standard_normal((3, 3, c, co), dtype=np.float32) * 0.1)
     a = rng.standard_normal(
         (n * k, out_size[0], out_size[1], co), dtype=np.float32)
-    return eager, lazy, jnp.asarray(w_skip), jnp.asarray(a)
+    y1 = rng.standard_normal(
+        (n * k, out_size[0], out_size[1], c), dtype=np.float32)
+    w_a = (rng.standard_normal((3, 3, c, co), dtype=np.float32) * 0.1)
+    return eager, lazy, jnp.asarray(w_skip), jnp.asarray(a), \
+        jnp.asarray(y1), jnp.asarray(w_a)
 
 
 def test_lazy_materialize_matches_eager(rng):
-    eager, lazy, _, _ = _make_case(rng)
+    eager, lazy, _, _, _, _ = _make_case(rng)
     np.testing.assert_array_equal(np.asarray(lazy.materialize()),
                                   np.asarray(eager))
     assert lazy.shape == eager.shape
@@ -47,15 +51,24 @@ def test_lazy_materialize_matches_eager(rng):
 
 @pytest.mark.smoke
 def test_fused_xla_matches_composition(rng):
-    eager, lazy, w_skip, a = _make_case(rng)
-    ref = a + F.conv2d(eager, w_skip, stride=1)
-    out = fused_skip_conv_add(a, lazy, w_skip, use_pallas=False)
+    eager, lazy, w_skip, _, y1, w_a = _make_case(rng)
+    ref = F.conv2d(y1, w_a, stride=1) + F.conv2d(eager, w_skip, stride=1)
+    out = fused_skip_conv_add(y1, w_a, lazy, w_skip, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_pallas_interpret_via_public_api(rng):
+    eager, lazy, w_skip, _, y1, w_a = _make_case(rng)
+    ref = F.conv2d(y1, w_a, stride=1) + F.conv2d(eager, w_skip, stride=1)
+    out = fused_skip_conv_add(y1, w_a, lazy, w_skip, use_pallas=True,
+                              interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
 
 def test_fused_pallas_interpret_matches_composition(rng):
-    eager, lazy, w_skip, a = _make_case(rng)
+    eager, lazy, w_skip, a, _, _ = _make_case(rng)
     ref = a + F.conv2d(eager, w_skip, stride=1)
     cg = F.conv2d(lazy.g, w_skip, stride=1)
     corr_l, corr_r = _corrections(lazy, w_skip)

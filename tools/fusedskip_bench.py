@@ -22,8 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from rcfd_tpu.nn import functional as F
-from rcfd_tpu.ops.fused_skip import (LazyColumnWindows, _corrections,
-                                     _fused_pallas, _fused_xla)
+from rcfd_tpu.ops.fused_skip import LazyColumnWindows, fused_skip_conv_add
 
 parser = argparse.ArgumentParser()
 parser.add_argument('--k', type=int, default=64)
@@ -45,27 +44,26 @@ g = jnp.asarray(rng.random((N, PH, WG, C), np.float32), dtype)
 g = g.at[:, :, WF:, :].set(0)
 starts = jnp.asarray(rng.integers(0, WF + 1, (N, K)).astype(np.int32))
 w_skip = jnp.asarray(rng.random((3, 3, C, C), np.float32) * 0.05, dtype)
+w_a = jnp.asarray(rng.random((3, 3, C, C), np.float32) * 0.05, dtype)
 a = jnp.asarray(rng.random((N * K, PH, PW, C), np.float32), dtype)
 
 
 def baseline(a, g, starts, w_skip):
+    # what the shipped split path does: conv_a(y1) + conv_skip(windows);
+    # `a` plays y1 (same shape/dtype, same conv cost)
     lazy = LazyColumnWindows(g, starts, PW)
     win = lazy.materialize()
-    return a + F.conv2d(win, w_skip, stride=1)
+    return F.conv2d(a, w_a, stride=1) + F.conv2d(win, w_skip, stride=1)
 
 
 def fused(a, g, starts, w_skip):
     lazy = LazyColumnWindows(g, starts, PW)
-    cg = F.conv2d(g, w_skip, stride=1)
-    corr_l, corr_r = _corrections(lazy, w_skip)
-    return _fused_pallas(a, cg, lazy, corr_l, corr_r)
+    return fused_skip_conv_add(a, w_a, lazy, w_skip, use_pallas=True)
 
 
 def fused_xla(a, g, starts, w_skip):
     lazy = LazyColumnWindows(g, starts, PW)
-    cg = F.conv2d(g, w_skip, stride=1)
-    corr_l, corr_r = _corrections(lazy, w_skip)
-    return _fused_xla(a, cg, lazy, corr_l, corr_r)
+    return fused_skip_conv_add(a, w_a, lazy, w_skip, use_pallas=False)
 
 
 print('backend:', jax.default_backend(), 'shapes: N={} K={} PH={} PW={} '
