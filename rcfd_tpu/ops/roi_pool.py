@@ -26,6 +26,7 @@ for parity testing and API completeness.
 from __future__ import annotations
 
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -166,13 +167,31 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
         # (14.8 vs 7.1 ms/frame at B=4 K=64 bf16, docs/PERF.md round-3)
         # — unlike the general path below, the constant-bin contiguous
         # windows already lower to efficient block DMAs in XLA.
-        def window_one(g_n, s_k):
-            return jax.lax.dynamic_slice(
-                g_n, (0, s_k, 0), (pooled_h, pooled_w, c))
+        # Window gather formulation. In the FULL serving graph the
+        # vmapped dynamic_slice lowers to a while-loop of dynamic-
+        # update-slices in row-major layout plus a ~1 GB relayout copy
+        # per scale into the consumer conv's batch-minor layout; the
+        # take (per-column gather) form lets XLA's gather emitter write
+        # the consumer layout directly. Measured end-to-end
+        # (tools/pipebisect.py, B=4 K=64 bf16): RadarNet half
+        # 31.5 -> 28.2 ms/frame, full pipeline 44.1 -> 40.9. Cost: the
+        # serving graph's first compile grows (~2.4 -> ~17 min through
+        # this container's compile relay — one-time per config).
+        # RCFD_POOL_WINDOW_GATHER=slice restores the old form.
+        gather_mode = os.environ.get('RCFD_POOL_WINDOW_GATHER', 'take')
+        if gather_mode == 'take':
+            cols = start[:, :, None] + jnp.arange(pooled_w)[None, None, :]
+            pooled = jax.vmap(
+                lambda g_n, c_n: jnp.take(g_n, c_n, axis=1))(g, cols)
+            pooled = jnp.moveaxis(pooled, 1, 2)  # (N, K, ph, pw, C)
+        else:
+            def window_one(g_n, s_k):
+                return jax.lax.dynamic_slice(
+                    g_n, (0, s_k, 0), (pooled_h, pooled_w, c))
 
-        pooled = jax.vmap(
-            lambda gn, sk: jax.vmap(lambda s_: window_one(gn, s_))(sk)
-        )(g, start)  # (N, K, ph, pw, C)
+            pooled = jax.vmap(
+                lambda gn, sk: jax.vmap(lambda s_: window_one(gn, s_))(sk)
+            )(g, start)  # (N, K, ph, pw, C)
         pooled = jnp.where(jnp.isfinite(pooled), pooled, 0).astype(rows.dtype)
         return pooled.reshape(n * k, pooled_h, pooled_w, c)
 
@@ -204,7 +223,6 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
     win = pooled_w + shifts
     start = jnp.minimum(roi_start_w, w_f)  # (N, K)
 
-    import os
     env = os.environ.get('RCFD_PALLAS_CROP')
     use_pallas = (env == '1') if env is not None else \
         jax.default_backend() in ('tpu', 'axon')

@@ -15,6 +15,8 @@ FusionNet's datasets read them back with load_depth (x256)
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
 from typing import Optional, Tuple
 
 import jax
@@ -27,6 +29,21 @@ from .ops.scatter import scatter_quasi_dense
 
 # load_depth(multiplier=256) applied to a save_response(x2^14) PNG
 RESPONSE_DECODE_SCALE = float(2 ** 14) / 256.0
+
+
+@contextmanager
+def _default_env(key: str, value: str):
+    """Set an env-var default for the duration of a trace, unless the
+    user already chose a value. The fast-decoder gates read their envs
+    at trace time, so this scopes a default to one model's subgraph."""
+    if os.environ.get(key) is not None:
+        yield
+        return
+    os.environ[key] = value
+    try:
+        yield
+    finally:
+        os.environ.pop(key, None)
 
 
 class TwoStagePipeline:
@@ -108,10 +125,11 @@ class TwoStagePipeline:
             crops = responses[..., 0]
             xs = x_shifted.astype(jnp.float32)
             zs = points[:, 2].astype(jnp.float32)
-            import os
+            # XLA scatter default — fuses better than the Pallas kernel
+            # inside the serving graph since the take window gather
+            # (see _build_forward_batched); RCFD_PALLAS_SCATTER=1 opts in
             env = os.environ.get('RCFD_PALLAS_SCATTER')
-            use_pallas = (env == '1') if env is not None else \
-                jax.default_backend() in ('tpu', 'axon')
+            use_pallas = env == '1'
             from .ops.scatter_pallas import MAX_POINTS as _PALLAS_MAX_K
             if use_pallas and crops.shape[0] <= _PALLAS_MAX_K:
                 from .ops.scatter_pallas import scatter_quasi_dense_pallas
@@ -133,8 +151,10 @@ class TwoStagePipeline:
             input_depth = jnp.stack([depth_map, response_in], axis=-1)[None]
             if compute_dtype is not None:
                 input_depth = input_depth.astype(compute_dtype)
-            output_depth, _ = self.fusionnet.apply(
-                fn_params, fn_state, image_t, input_depth, training=False)
+            with _default_env('RCFD_FAST_MAX_WIDTH', '1600'):
+                output_depth, _ = self.fusionnet.apply(
+                    fn_params, fn_state, image_t, input_depth,
+                    training=False)
             return (output_depth[0, :, :, 0].astype(jnp.float32),
                     depth_map, response_map)
 
@@ -207,10 +227,13 @@ class TwoStagePipeline:
             xs = x_shifted.astype(jnp.float32)
             zs = points[..., 2].astype(jnp.float32)
 
-            import os
+            # In THIS batched serving graph the XLA scatter composite
+            # fuses better than the Pallas kernel (39.9 vs 40.1 ms/frame
+            # at B=4 K=64 with the take window gather, tools/pipebisect
+            # round-3) even though the Pallas kernel wins isolated —
+            # default XLA here; RCFD_PALLAS_SCATTER=1 opts back in.
             env = os.environ.get('RCFD_PALLAS_SCATTER')
-            use_pallas = (env == '1') if env is not None else \
-                jax.default_backend() in ('tpu', 'axon')
+            use_pallas = env == '1'
 
             from .ops.scatter_pallas import MAX_POINTS as _PALLAS_MAX_K
 
@@ -237,8 +260,16 @@ class TwoStagePipeline:
             input_depth = jnp.stack([depth_map, response_in], axis=-1)
             if compute_dtype is not None:
                 input_depth = input_depth.astype(compute_dtype)
-            output_depth, _ = self.fusionnet.apply(
-                fn_params, fn_state, images_t, input_depth, training=False)
+            # let FusionNet's decoder take the fast (split-conv) paths on
+            # full-width maps: at serving batches the HBM headroom that
+            # motivated the 256 gate exists, and it measured
+            # 40.9 -> 40.1 ms/frame (B=4 K=64, tools/pipebisect round-3).
+            # The 256 default stays for standalone batch-32 FusionNet
+            # serving, which OOMs with the gate lifted.
+            with _default_env('RCFD_FAST_MAX_WIDTH', '1600'):
+                output_depth, _ = self.fusionnet.apply(
+                    fn_params, fn_state, images_t, input_depth,
+                    training=False)
             return (output_depth[..., 0].astype(jnp.float32),
                     depth_map, response_map)
 
