@@ -77,6 +77,29 @@ def test_fused_pallas_interpret_matches_composition(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.smoke
+@pytest.mark.parametrize('scale,out_w', [(0.5, 16), (0.25, 8),
+                                         (0.125, 4)])
+def test_take_gather_matches_slice(rng, monkeypatch, scale, out_w):
+    """The take-based window gather (the round-3 serving default,
+    RCFD_POOL_WINDOW_GATHER=take) must be bit-identical to the vmapped
+    dynamic_slice form at every constant-bin skip scale."""
+    h, w, patch_w, c, k = 64, 96, 32, 6, 5
+    feat = jnp.asarray(rng.standard_normal(
+        (2, int(h * scale), int((w + patch_w) * scale), c),
+        dtype=np.float32))
+    x1 = jnp.asarray(np.stack([
+        np.concatenate([[0.0], rng.uniform(0, w, k - 2), [float(w)]])
+        for _ in range(2)]).astype(np.float32))
+    kw = dict(box_width=patch_w, box_y1=0, box_y2=h, spatial_scale=scale,
+              output_size=(int(h * scale), out_w))
+    monkeypatch.setenv('RCFD_POOL_WINDOW_GATHER', 'slice')
+    ref = roi_pool_column(feat, x1, **kw)
+    monkeypatch.setenv('RCFD_POOL_WINDOW_GATHER', 'take')
+    out = roi_pool_column(feat, x1, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_lazy_skip_end_to_end_matches_eager(rng, monkeypatch):
     """Tiny RadarNet forward with the fused pool2 path (XLA fallback on
     CPU) vs the eager pool: responses must agree within float tolerance
