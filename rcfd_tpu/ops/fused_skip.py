@@ -33,7 +33,7 @@ reference torchvision.ops.roi_pool + conv composition,
 from __future__ import annotations
 
 import os
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
