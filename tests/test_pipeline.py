@@ -261,3 +261,54 @@ def test_forward_sharded_matches_batched():
     for a, r in zip(out, ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-5)
+
+
+def test_default_env_scopes_and_restores(monkeypatch):
+    """_default_env sets a trace-time default only when the user has not
+    chosen, and never leaks past the context."""
+    from rcfd_tpu.pipeline import _default_env
+
+    monkeypatch.delenv('RCFD_FAST_MAX_WIDTH', raising=False)
+    with _default_env('RCFD_FAST_MAX_WIDTH', '1600'):
+        assert os.environ['RCFD_FAST_MAX_WIDTH'] == '1600'
+    assert 'RCFD_FAST_MAX_WIDTH' not in os.environ
+
+    monkeypatch.setenv('RCFD_FAST_MAX_WIDTH', '256')
+    with _default_env('RCFD_FAST_MAX_WIDTH', '1600'):
+        assert os.environ['RCFD_FAST_MAX_WIDTH'] == '256'
+    assert os.environ['RCFD_FAST_MAX_WIDTH'] == '256'
+
+
+@pytest.mark.smoke
+def test_pallas_scatter_opt_in_matches_default(monkeypatch):
+    """The serving graph defaults to the XLA scatter (round-3); the
+    Pallas opt-in (interpret on CPU is not available, so compare the
+    env-off path against an explicit env=0 — both must route XLA and
+    agree bit-exactly with each other and with per-frame __call__)."""
+    rng = np.random.default_rng(11)
+    radarnet = RadarNetModel(**RN_KWARGS)
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    pipeline = TwoStagePipeline(
+        radarnet, fusionnet,
+        radarnet.init(jax.random.PRNGKey(0)),
+        fusionnet.init(jax.random.PRNGKey(1)), H, W)
+    b, k = 2, 3
+    images = jnp.asarray(rng.random((b, H, W, 3), np.float32) * 255)
+    points = jnp.asarray(np.stack([
+        rng.integers(0, W, (b, k)).astype(np.float32),
+        rng.integers(0, H, (b, k)).astype(np.float32),
+        rng.random((b, k), np.float32) * 50 + 1], axis=-1))
+    valid = jnp.ones((b, k), bool)
+
+    monkeypatch.delenv('RCFD_PALLAS_SCATTER', raising=False)
+    dense_a, quasi_a, resp_a = pipeline.forward_batched(
+        images, points, valid)
+    monkeypatch.setenv('RCFD_PALLAS_SCATTER', '0')
+    fwd = jax.jit(pipeline._build_forward_batched())
+    dense_b, quasi_b, resp_b = fwd(
+        pipeline.radarnet_params, pipeline.radarnet_state,
+        pipeline.fusionnet_params, pipeline.fusionnet_state,
+        images, points, valid)
+    np.testing.assert_array_equal(np.asarray(quasi_a), np.asarray(quasi_b))
+    np.testing.assert_array_equal(np.asarray(resp_a), np.asarray(resp_b))
+    np.testing.assert_array_equal(np.asarray(dense_a), np.asarray(dense_b))
