@@ -22,28 +22,56 @@ import tempfile
 from rcfd_tpu import legacy_main
 
 
-def unpack_data_struct_manifest(pickle_path):
+def unpack_data_struct_manifest(pickle_path, materialize_dirpath=None):
     """Single Data_Struct-dict pickle -> (gt_label_paths, radar_paths).
 
     Accepts dicts of records (setup/data_gen.py's output) or lists of
-    records; records may be NamedTuples or plain tuples in the reference
-    field order (reference src/save_depth_radar.py:7-14).
+    records. The reference's data_gen_{train,val,test}.py all store
+    data_dict[(scene_id, sample_id)] = [data_item] — a ONE-ELEMENT LIST
+    per key (reference setup/data_gen_train.py:1211-1212) — so each value
+    is unwrapped first. Records may be NamedTuples or plain tuples in
+    either reference field order:
+      train (6 fields, data_gen_train.py:42-48):  scene_id, sample_idx,
+        image_path, input_points(path), label_path, depth_path
+      val/test (7 fields, data_gen_val.py:42-49): scene_id, sample_idx,
+        image_path, ground_truth_points(ndarray), input_points(ndarray),
+        label_path, depth_path
+    val/test radar entries are in-memory arrays; they are saved to
+    ``materialize_dirpath`` as .npy files so the path-based legacy
+    datasets can load them.
     """
+    import numpy as np
     with open(pickle_path, 'rb') as f:
         manifest = pickle.load(f)
     records = (list(manifest.values()) if isinstance(manifest, dict)
                else list(manifest))
     gt_paths, radar_paths = [], []
-    for rec in records:
+    for i, rec in enumerate(records):
+        # data_gen wraps each record in a one-element list; a real record
+        # has >= 6 fields so an accidental unwrap of a field-tuple is
+        # impossible at length 1.
+        if isinstance(rec, (list, tuple)) and len(rec) == 1:
+            rec = rec[0]
         if hasattr(rec, 'ground_truth_label_path'):
             gt_paths.append(rec.ground_truth_label_path)
-            radar_paths.append(getattr(rec, 'radar_points_path',
-                                       getattr(rec, 'input_points', None)))
-        else:
-            # reference field order: scene_id, sample_idx, image_path,
-            # ground_truth_points, input_points, label_path, depth_path
+            radar = getattr(rec, 'radar_points_path',
+                            getattr(rec, 'input_points', None))
+        elif len(rec) >= 7:
             gt_paths.append(rec[5])
-            radar_paths.append(rec[4])
+            radar = rec[4]
+        else:
+            gt_paths.append(rec[4])
+            radar = rec[3]
+        if isinstance(radar, np.ndarray):
+            if materialize_dirpath is None:
+                raise ValueError(
+                    'manifest stores in-memory radar arrays but no '
+                    'materialize_dirpath was given')
+            radar_path = os.path.join(materialize_dirpath,
+                                      f'radar_points_{i}.npy')
+            np.save(radar_path, radar)
+            radar = radar_path
+        radar_paths.append(radar)
     return gt_paths, radar_paths
 
 
@@ -115,12 +143,11 @@ if __name__ == '__main__':
     restore_path = None if args.restore_path in (None, '') \
         else args.restore_path
 
-    gt_train, radar_train = unpack_data_struct_manifest(
-        args.path_to_pickle_file_train)
-    gt_val, radar_val = unpack_data_struct_manifest(
-        args.path_to_pickle_file_val)
-
     with tempfile.TemporaryDirectory() as tmpdir:
+        gt_train, radar_train = unpack_data_struct_manifest(
+            args.path_to_pickle_file_train, materialize_dirpath=tmpdir)
+        gt_val, radar_val = unpack_data_struct_manifest(
+            args.path_to_pickle_file_val, materialize_dirpath=tmpdir)
         legacy_main.train(
             path_to_pickle_file_gt_train_paths=_as_path_pickle(
                 gt_train, tmpdir, 'gt_train.pkl'),

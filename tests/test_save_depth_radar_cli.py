@@ -42,6 +42,50 @@ def test_unpack_named_tuple_dict(tmp_path):
     assert radar == ['radar_0.npy', 'radar_1.npy', 'radar_2.npy']
 
 
+def test_unpack_data_gen_one_element_lists(tmp_path):
+    """The actual data_gen output shape: every dict value is a ONE-ELEMENT
+    LIST holding the record (reference setup/data_gen_train.py:1211-1212).
+    Train records are 6-field with the radar entry as a path."""
+    manifest = {
+        (0, i): [(0, i, f'img_{i}.jpg', f'radar_{i}.npy',
+                  f'label_{i}.png', f'depth_{i}.png')]
+        for i in range(3)
+    }
+    p = str(tmp_path / 'm.pkl')
+    with open(p, 'wb') as f:
+        pickle.dump(manifest, f)
+    gt, radar = unpack_data_struct_manifest(p)
+    assert gt == ['label_0.png', 'label_1.png', 'label_2.png']
+    assert radar == ['radar_0.npy', 'radar_1.npy', 'radar_2.npy']
+
+
+def test_unpack_val_ndarray_radar_materializes(tmp_path):
+    """val/test manifests (7-field Data_Struct, data_gen_val.py:42-49)
+    store input_points as an in-memory ndarray: it must be saved to a
+    .npy file so the path-based legacy dataset can consume it."""
+    pts = [np.arange(6, dtype=np.float32).reshape(2, 3) + i
+           for i in range(2)]
+    manifest = {
+        (0, i): [(0, i, f'img_{i}.jpg', np.zeros((4, 2)), pts[i],
+                  f'label_{i}.png', f'depth_{i}.png')]
+        for i in range(2)
+    }
+    p = str(tmp_path / 'm.pkl')
+    with open(p, 'wb') as f:
+        pickle.dump(manifest, f)
+    out = tmp_path / 'mat'
+    out.mkdir()
+    gt, radar = unpack_data_struct_manifest(p, materialize_dirpath=str(out))
+    assert gt == ['label_0.png', 'label_1.png']
+    for i, rp in enumerate(radar):
+        assert rp.endswith('.npy') and os.path.exists(rp)
+        np.testing.assert_array_equal(np.load(rp), pts[i])
+    # without a materialize dir the array case must fail loudly
+    import pytest
+    with pytest.raises(ValueError):
+        unpack_data_struct_manifest(p)
+
+
 def test_unpack_reference_field_order(tmp_path):
     """Plain tuples in the reference's 7-field Data_Struct order
     (src/save_depth_radar.py:7-14): label path at index 5, input points
