@@ -350,6 +350,9 @@ def train(train_image_path,
     val_summary_writer = SummaryWriter(event_path + '-val',
                                        enabled=is_lead)
 
+    log('Tensorboard summaries: {} ({})'.format(
+        'enabled' if train_summary_writer.enabled else 'DISABLED',
+        event_path), log_path)
     log_training_banner(
         log_path, model=model, params=params, batch_size=batch_size,
         n_train_sample=n_train_sample, n_train_step=n_train_step,

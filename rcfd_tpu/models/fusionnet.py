@@ -36,7 +36,10 @@ class FusionNetModel:
                  activation_func: str = 'leaky_relu',
                  weight_initializer: str = 'kaiming_uniform',
                  min_predict_depth: float = 1.5,
-                 max_predict_depth: float = 100.0):
+                 max_predict_depth: float = 100.0,
+                 perf=None):
+        from ..nn.perf import PerfConfig
+        self.perf = perf if perf is not None else PerfConfig.from_env()
         self.encoder_type = encoder_type
         self.min_predict_depth = min_predict_depth
         self.max_predict_depth = max_predict_depth
@@ -96,7 +99,8 @@ class FusionNetModel:
                 activation_func=activation_func,
                 output_func='linear',
                 use_batch_norm='batch_norm' in decoder_type,
-                deconv_type=deconv_type)
+                deconv_type=deconv_type,
+                perf=self.perf)
         else:
             raise ValueError('Unsupported decoder type: {}'.format(decoder_type))
 

@@ -6,7 +6,6 @@ parameter-tree naming 1:1 with the reference's torch state_dicts.
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -276,7 +275,10 @@ class RadarNetV1Encoder(Module):
                  latent_size_depth: int = 128 * 28 * 9,
                  weight_initializer: str = 'kaiming_uniform',
                  activation_func: str = 'leaky_relu',
-                 use_batch_norm: bool = False):
+                 use_batch_norm: bool = False,
+                 perf=None):
+        from ..nn.perf import PerfConfig
+        self.perf = perf if perf is not None else PerfConfig.from_env()
         self.n_neuron_latent_depth = list(n_neurons_encoder_depth)[-1]
         self.input_patch_size_image = tuple(input_patch_size_image)
         self.children = {
@@ -319,20 +321,24 @@ class RadarNetV1Encoder(Module):
             (int(patch_h * s), int(patch_w * s)) for s in skip_scales
         ]
 
+        pool_kwargs = dict(
+            gather_mode=self.perf.pool_window_gather,
+            use_pallas_crop=self.perf.pallas_crop)
         latent_pooled = roi_pool_column(
             latent_image, x1, box_width=patch_w, box_y1=0, box_y2=box_height,
-            spatial_scale=1 / 32., output_size=(latent_height, latent_width))
+            spatial_scale=1 / 32., output_size=(latent_height, latent_width),
+            **pool_kwargs)
 
         # pool2 -> deconv1 fusion: defer the (largest) 1/2-scale pool to a
         # LazyColumnWindows so the decoder can gather windows of
         # conv(G) directly into its skip add (ops/fused_skip.py) instead
         # of materializing K windows + convolving them. Consumers that
         # cannot fuse materialize() — identical values either way.
-        # OPT-IN (RCFD_FUSED_POOL2=1): the formulation wins 2x at the op
-        # level (8.92 -> 4.27 ms, docs/PERF.md round-3) but measured
+        # OPT-IN (PerfConfig.fused_pool2): the formulation wins 2x at the
+        # op level (8.92 -> 4.27 ms, docs/PERF.md round-3) but measured
         # NEUTRAL-to-SLOWER inside the full model graph, where XLA stops
         # fusing the window gather into the consumer add.
-        fuse_pool2 = os.environ.get('RCFD_FUSED_POOL2') == '1' \
+        fuse_pool2 = self.perf.fused_pool2 \
             and not training and skip_sizes[0][1] <= 256
 
         skips_pooled = []
@@ -340,7 +346,7 @@ class RadarNetV1Encoder(Module):
             skips_pooled.append(roi_pool_column(
                 skip, x1, box_width=patch_w, box_y1=0, box_y2=box_height,
                 spatial_scale=skip_scales[idx], output_size=skip_sizes[idx],
-                return_global=(fuse_pool2 and idx == 0)))
+                return_global=(fuse_pool2 and idx == 0), **pool_kwargs))
 
         latent_depth, new_state_depth = self.children['encoder_depth'](
             params['encoder_depth'], state['encoder_depth'], points,
@@ -429,7 +435,10 @@ class MultiScaleDecoder(Module):
                  activation_func: str = 'leaky_relu',
                  output_func: str = 'linear',
                  use_batch_norm: bool = False,
-                 deconv_type: str = 'up'):
+                 deconv_type: str = 'up',
+                 perf=None):
+        from ..nn.perf import PerfConfig
+        self.perf = perf if perf is not None else PerfConfig.from_env()
         n_filters = list(n_filters)
         n_skips = list(n_skips)
         network_depth = len(n_filters)
@@ -455,7 +464,7 @@ class MultiScaleDecoder(Module):
         if self.has_deconv6:
             ch['deconv6'] = DecoderBlock(
                 in_ch, skip_ch, out_ch, weight_initializer, act,
-                use_batch_norm, deconv_type)
+                use_batch_norm, deconv_type, perf=self.perf)
             filter_idx += 1
             in_ch, skip_ch, out_ch = (
                 n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
@@ -464,21 +473,21 @@ class MultiScaleDecoder(Module):
         if self.has_deconv5:
             ch['deconv5'] = DecoderBlock(
                 in_ch, skip_ch, out_ch, weight_initializer, act,
-                use_batch_norm, deconv_type)
+                use_batch_norm, deconv_type, perf=self.perf)
             filter_idx += 1
             in_ch, skip_ch, out_ch = (
                 n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
 
         ch['deconv4'] = DecoderBlock(
             in_ch, skip_ch, out_ch, weight_initializer, act,
-            use_batch_norm, deconv_type)
+            use_batch_norm, deconv_type, perf=self.perf)
 
         filter_idx += 1
         in_ch, skip_ch, out_ch = (
             n_filters[filter_idx - 1], n_skips[filter_idx], n_filters[filter_idx])
         ch['deconv3'] = DecoderBlock(
             in_ch, skip_ch, out_ch, weight_initializer, act,
-            use_batch_norm, deconv_type)
+            use_batch_norm, deconv_type, perf=self.perf)
         if self.n_resolution > 3:
             ch['output3'] = Conv2d(out_ch, output_channels, 3, 1,
                                    weight_initializer, out_act, False)
@@ -490,7 +499,7 @@ class MultiScaleDecoder(Module):
             skip_ch = skip_ch + output_channels
         ch['deconv2'] = DecoderBlock(
             in_ch, skip_ch, out_ch, weight_initializer, act,
-            use_batch_norm, deconv_type)
+            use_batch_norm, deconv_type, perf=self.perf)
         if self.n_resolution > 2:
             ch['output2'] = Conv2d(out_ch, output_channels, 3, 1,
                                    weight_initializer, out_act, False)
@@ -502,7 +511,7 @@ class MultiScaleDecoder(Module):
             skip_ch = skip_ch + output_channels
         ch['deconv1'] = DecoderBlock(
             in_ch, skip_ch, out_ch, weight_initializer, act,
-            use_batch_norm, deconv_type)
+            use_batch_norm, deconv_type, perf=self.perf)
         if self.n_resolution > 1:
             ch['output1'] = Conv2d(out_ch, output_channels, 3, 1,
                                    weight_initializer, out_act, False)
@@ -515,7 +524,7 @@ class MultiScaleDecoder(Module):
         self.deconv0_skip_channels = skip_ch
         ch['deconv0'] = DecoderBlock(
             in_ch, skip_ch, out_ch, weight_initializer, act,
-            use_batch_norm, deconv_type)
+            use_batch_norm, deconv_type, perf=self.perf)
         ch['output0'] = Conv2d(out_ch, output_channels, 3, 1,
                                weight_initializer, out_act, False)
 
@@ -614,7 +623,7 @@ class MultiScaleDecoder(Module):
                     target = tuple(shape[-2:]) if shape is not None else \
                         (2 * layers[-1].shape[1], 2 * layers[-1].shape[2])
                 if self._packed_tail_ok(layers[-1], target, training):
-                    if os.environ.get('RCFD_INT8_TAIL') == '1':
+                    if self.perf.int8_tail:
                         # opt-in int8 fast mode (approximate — breaks
                         # 14-bit response parity; docs/PERF.md)
                         from ..ops.packed_tail import \
@@ -649,9 +658,8 @@ class MultiScaleDecoder(Module):
         MEASURED SLOWER on v5e (15.3 vs 10.0 ms at K=64 RadarNet shapes):
         the 4x-dense packed-packed conv does not pay off — XLA's unpacked
         path runs above the ~25% utilization break-even. Kept as a tested
-        opt-in (RCFD_PACKED_DECONV1=1), like RCFD_FUSED_UPSAMPLE."""
-        import os
-        if os.environ.get('RCFD_PACKED_DECONV1', '0') != '1':
+        opt-in (PerfConfig.packed_deconv1), like fused_upsample."""
+        if not self.perf.packed_deconv1:
             return False
         from ..ops.fused_skip import LazyColumnWindows
         if isinstance(skip, LazyColumnWindows):
@@ -664,8 +672,7 @@ class MultiScaleDecoder(Module):
         """The phase-packed tail (ops/packed_tail.py) applies to the
         canonical inference tail: 'up' deconv0 without a skip concat,
         3x3 output conv, exact x2 upsample to even dims."""
-        import os
-        if os.environ.get('RCFD_PACKED_TAIL', '1') == '0':
+        if not self.perf.packed_tail:
             return False
         if training or self.deconv_type != 'up':
             return False

@@ -28,7 +28,10 @@ class RadarNetModel:
                  decoder_type: str,
                  n_filters_decoder: List[int],
                  weight_initializer: str = 'kaiming_uniform',
-                 activation_func: str = 'leaky_relu'):
+                 activation_func: str = 'leaky_relu',
+                 perf=None):
+        from ..nn.perf import PerfConfig
+        self.perf = perf if perf is not None else PerfConfig.from_env()
         self.input_patch_size_image = tuple(input_patch_size_image)
 
         height, width = self.input_patch_size_image
@@ -46,7 +49,8 @@ class RadarNetModel:
                 latent_size_depth=latent_size_depth,
                 weight_initializer=weight_initializer,
                 activation_func=activation_func,
-                use_batch_norm='batch_norm' in encoder_type)
+                use_batch_norm='batch_norm' in encoder_type,
+                perf=self.perf)
         else:
             raise ValueError('Encoder type {} not supported.'.format(encoder_type))
 
@@ -66,7 +70,8 @@ class RadarNetModel:
                 activation_func=activation_func,
                 output_func='linear',
                 use_batch_norm='batch_norm' in decoder_type,
-                deconv_type='up')
+                deconv_type='up',
+                perf=self.perf)
         else:
             raise ValueError('Decoder type {} not supported.'.format(decoder_type))
 

@@ -160,7 +160,10 @@ class UpConv2d(Module):
                  kernel_size: int = 3,
                  weight_initializer: str = 'kaiming_uniform',
                  activation_func=('leaky_relu_default', 0.10),
-                 use_batch_norm: bool = False):
+                 use_batch_norm: bool = False,
+                 perf=None):
+        from .perf import PerfConfig
+        self.perf = perf if perf is not None else PerfConfig.from_env()
         self.conv = Conv2d(
             in_channels, out_channels, kernel_size=kernel_size, stride=1,
             weight_initializer=weight_initializer,
@@ -175,9 +178,9 @@ class UpConv2d(Module):
         conv_p = params['conv']
         # The phase-decomposed path is numerically identical but measured
         # slightly slower than XLA's own upsample+conv fusion on v5e
-        # (16.0 vs 17.4 frames/s full-res) — opt in via RCFD_FUSED_UPSAMPLE=1.
-        import os
-        use_fused = os.environ.get('RCFD_FUSED_UPSAMPLE', '0') == '1'
+        # (16.0 vs 17.4 frames/s full-res) — opt-in (PerfConfig
+        # fused_upsample / RCFD_FUSED_UPSAMPLE at construction).
+        use_fused = self.perf.fused_upsample
         if (use_fused and int(shape[0]) == 2 * x.shape[1]
                 and int(shape[1]) == 2 * x.shape[2]
                 and self.conv.kernel_size == 3):
@@ -357,7 +360,10 @@ class DecoderBlock(Module):
                  weight_initializer: str = 'kaiming_uniform',
                  activation_func=('leaky_relu_default', 0.10),
                  use_batch_norm: bool = False,
-                 deconv_type: str = 'up'):
+                 deconv_type: str = 'up',
+                 perf=None):
+        from .perf import PerfConfig
+        self.perf = perf if perf is not None else PerfConfig.from_env()
         self.skip_channels = skip_channels
         self.deconv_type = deconv_type
         if deconv_type == 'transpose':
@@ -367,7 +373,7 @@ class DecoderBlock(Module):
         elif deconv_type == 'up':
             self.deconv = UpConv2d(
                 in_channels, out_channels, 3, weight_initializer,
-                activation_func, use_batch_norm)
+                activation_func, use_batch_norm, perf=self.perf)
         else:
             raise ValueError('Unsupported deconv type: {}'.format(deconv_type))
         concat_channels = skip_channels + out_channels
@@ -385,29 +391,15 @@ class DecoderBlock(Module):
     # they are throughput-neutral but RAISE peak temp memory (the split
     # conv pair + depth_to_space relayout), which costs the batch-32
     # FusionNet serving config to OOM — so wide maps keep the proven
-    # concat path.
-    _FAST_MAX_WIDTH = 256
-
-    def _fast_max_width(self) -> int:
-        """Width cap for the fast decoder paths; RCFD_FAST_MAX_WIDTH
-        overrides (wide full-frame maps raise peak temp memory — see the
-        class comment — so widening the gate trades OOM headroom for
-        speed at smaller batches)."""
-        import os
-        env = os.environ.get('RCFD_FAST_MAX_WIDTH')
-        return int(env) if env else self._FAST_MAX_WIDTH
+    # concat path (perf.fast_max_width, default 256; the fused pipeline
+    # re-perfs its FusionNet to the frame width).
 
     def _split_conv_ok(self, training, out_width: int) -> bool:
-        """Gate for the concat-free post-conv (same env/backend policy as
-        _fast_up_ok; inference only, narrow maps only)."""
-        import os
-        env = os.environ.get('RCFD_FAST_DECODER')
-        if env is not None:
-            if env == '0':
-                return False
-        elif jax.default_backend() not in ('tpu', 'axon'):
+        """Gate for the concat-free post-conv (same policy as _fast_up_ok;
+        inference only, narrow maps only)."""
+        if not self.perf.fast_decoder_enabled():
             return False
-        if out_width > self._fast_max_width():
+        if out_width > self.perf.fast_max_width_resolved():
             return False
         return not training and self.conv.kernel_size == 3
 
@@ -418,20 +410,15 @@ class DecoderBlock(Module):
         post-concat conv is SPLIT by input channels so the concat never
         materializes. Measured on v5e at the serving shapes
         (K=256, 450x144, bf16): 17.3 -> 10.0 ms. Exact up to float
-        reassociation. Default on for TPU backends; RCFD_FAST_DECODER
-        overrides."""
-        import os
-        env = os.environ.get('RCFD_FAST_DECODER')
-        if env is not None:
-            if env == '0':
-                return False
-        elif jax.default_backend() not in ('tpu', 'axon'):
+        reassociation. Default on for TPU backends (PerfConfig
+        fast_decoder)."""
+        if not self.perf.fast_decoder_enabled():
             return False
         if training or self.deconv_type != 'up':
             return False
         if self.deconv.conv.kernel_size != 3 or self.conv.kernel_size != 3:
             return False
-        if 2 * x.shape[2] > self._fast_max_width():
+        if 2 * x.shape[2] > self.perf.fast_max_width_resolved():
             return False
         return tuple(shape) == (2 * x.shape[1], 2 * x.shape[2])
 
@@ -454,9 +441,10 @@ class DecoderBlock(Module):
                                           fused_skip_conv_add)
             if isinstance(skip, LazyColumnWindows):
                 # pool2->deconv1 fusion: skip-conv once on the global
-                # map, Pallas gather-add of its windows (fused_skip.py)
-                y2 = fused_skip_conv_add(y1, w_mid[:, :, :co], skip,
-                                         w_mid[:, :, co:])
+                # map, gather-add of its windows (fused_skip.py)
+                y2 = fused_skip_conv_add(
+                    y1, w_mid[:, :, :co], skip, w_mid[:, :, co:],
+                    use_pallas=self.perf.fused_pool2_pallas)
             else:
                 # conv(concat([y1, skip]), W) == conv(y1, W[:cin_y]) +
                 # conv(skip, W[cin_y:]) — the concat never materializes
@@ -496,8 +484,9 @@ class DecoderBlock(Module):
                                               state['conv'])
                 co = deconv.shape[-1]
                 if isinstance(skip, LazyColumnWindows):
-                    y = fused_skip_conv_add(deconv, w_mid[:, :, :co],
-                                            skip, w_mid[:, :, co:])
+                    y = fused_skip_conv_add(
+                        deconv, w_mid[:, :, :co], skip, w_mid[:, :, co:],
+                        use_pallas=self.perf.fused_pool2_pallas)
                 else:
                     y = F.conv2d(deconv, w_mid[:, :, :co], stride=1) + \
                         F.conv2d(skip, w_mid[:, :, co:], stride=1)

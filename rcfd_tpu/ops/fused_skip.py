@@ -32,7 +32,6 @@ reference torchvision.ops.roi_pool + conv composition,
 
 from __future__ import annotations
 
-import os
 
 
 import jax
@@ -274,14 +273,23 @@ def fused_skip_conv_add(y1, w_a, lazy: LazyColumnWindows, w_skip,
     """
     from ..nn import functional as F
 
+    # At pooled_w == 1 the left/right boundary columns coincide and the
+    # second correction .at[].set would overwrite the first (in both the
+    # XLA and Pallas formulations) — a silently wrong single-column
+    # result. Canonical skip widths are >= 4; refuse exotic ones.
+    assert lazy.pooled_w >= 2, (
+        f'fused_skip_conv_add requires pooled_w >= 2, got {lazy.pooled_w}; '
+        'use lazy.materialize() + a split conv instead')
+
     if use_pallas is None:
         # measured on v5e (tools/fusedskip_bench.py, K=64 serving
         # shapes, bf16): baseline split conv + materialized windows
         # 9.0 ms, XLA fused (conv-on-G + gather into the add) 4.2 ms,
         # best Pallas variant 9.36 ms (block-pipeline/DMA overheads —
         # docs/PERF.md round-3 negative results). XLA is the fast path;
-        # the kernel stays as an opt-in correctness artifact.
-        use_pallas = os.environ.get('RCFD_FUSED_POOL2_PALLAS') == '1'
+        # the kernel stays as an opt-in correctness artifact
+        # (PerfConfig.fused_pool2_pallas, threaded by DecoderBlock).
+        use_pallas = False
 
     co = w_a.shape[-1]
     a = F.conv2d(y1, w_a.astype(y1.dtype), stride=1)

@@ -26,7 +26,6 @@ for parity testing and API completeness.
 from __future__ import annotations
 
 import math
-import os
 from typing import Tuple
 
 import jax
@@ -88,7 +87,9 @@ def pool_rows_static(feat, box_y1: int, box_y2: int, spatial_scale: float,
 
 def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
                     spatial_scale: float, output_size: Tuple[int, int],
-                    return_global: bool = False):
+                    return_global: bool = False,
+                    gather_mode: str = 'take',
+                    use_pallas_crop: bool = None):
     """ROI max pool for full-height fixed-width column boxes.
 
     Arg(s):
@@ -97,6 +98,14 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
             (x2 = x1 + box_width)
         box_width : static box width in input coords
         box_y1, box_y2 : static vertical box extent in input coords
+        gather_mode : 'take' (default; per-column gather — XLA's gather
+            emitter writes the consumer layout directly, −3.2 ms/frame
+            in the serving graph at the cost of a larger first compile)
+            or 'slice' (vmapped dynamic_slice) for the constant-bin
+            window gather (PerfConfig.pool_window_gather).
+        use_pallas_crop : block-DMA window extraction in the
+            variable-bin path; None = on for TPU backends
+            (PerfConfig.pallas_crop).
         spatial_scale : feature scale (e.g. 1/32)
         output_size : (pooled_h, pooled_w)
         return_global : if the constant-bin fast path applies, return the
@@ -177,8 +186,7 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
         # 31.5 -> 28.2 ms/frame, full pipeline 44.1 -> 40.9. Cost: the
         # serving graph's first compile grows (~2.4 -> ~17 min through
         # this container's compile relay — one-time per config).
-        # RCFD_POOL_WINDOW_GATHER=slice restores the old form.
-        gather_mode = os.environ.get('RCFD_POOL_WINDOW_GATHER', 'take')
+        # gather_mode='slice' restores the old form.
         if gather_mode == 'take':
             cols = start[:, :, None] + jnp.arange(pooled_w)[None, None, :]
             pooled = jax.vmap(
@@ -223,8 +231,7 @@ def roi_pool_column(feat, x1, box_width: int, box_y1: int, box_y2: int,
     win = pooled_w + shifts
     start = jnp.minimum(roi_start_w, w_f)  # (N, K)
 
-    env = os.environ.get('RCFD_PALLAS_CROP')
-    use_pallas = (env == '1') if env is not None else \
+    use_pallas = use_pallas_crop if use_pallas_crop is not None else \
         jax.default_backend() in ('tpu', 'axon')
     if use_pallas:
         # block-DMA window extraction (XLA lowers the vmapped

@@ -15,8 +15,6 @@ FusionNet's datasets read them back with load_depth (x256)
 
 from __future__ import annotations
 
-import os
-from contextlib import contextmanager
 from typing import Optional, Tuple
 
 import jax
@@ -25,25 +23,11 @@ import jax.numpy as jnp
 from .data.transforms import Transforms
 from .models.fusionnet import FusionNetModel
 from .models.radarnet import RadarNetModel
+from .nn.perf import PerfConfig, with_perf
 from .ops.scatter import scatter_quasi_dense
 
 # load_depth(multiplier=256) applied to a save_response(x2^14) PNG
 RESPONSE_DECODE_SCALE = float(2 ** 14) / 256.0
-
-
-@contextmanager
-def _default_env(key: str, value: str):
-    """Set an env-var default for the duration of a trace, unless the
-    user already chose a value. The fast-decoder gates read their envs
-    at trace time, so this scopes a default to one model's subgraph."""
-    if os.environ.get(key) is not None:
-        yield
-        return
-    os.environ[key] = value
-    try:
-        yield
-    finally:
-        os.environ.pop(key, None)
 
 
 class TwoStagePipeline:
@@ -65,7 +49,27 @@ class TwoStagePipeline:
         two-stage path. optimize: fold BN into conv weights (inference
         only). compute_dtype: e.g. jnp.bfloat16 for MXU serving."""
         self.radarnet = radarnet
-        self.fusionnet = fusionnet
+        # Widen FusionNet's fast-decoder width gate to the frame width
+        # inside the fused pipeline ONLY (measured 40.9 -> 40.1 ms/frame
+        # at B=4 K=64): the conservative 256 default protects standalone
+        # batch-32 FusionNet serving, which OOMs with the gate lifted.
+        # with_perf re-perfs a config-only copy, so a standalone trace of
+        # the caller's model object is unaffected (no env mutation — this
+        # replaces the round-3 _default_env trace-time hack).
+        fn_perf = getattr(fusionnet, 'perf', None) or PerfConfig.from_env()
+        if fn_perf.fast_max_width is None:
+            self.fusionnet = with_perf(
+                fusionnet,
+                fn_perf.replace(fast_max_width=max(image_width, 256)))
+        else:
+            self.fusionnet = fusionnet
+        # Serving-graph composite choices (PerfConfig; RCFD_* env vars are
+        # honored once, at construction): the XLA scatter fuses better
+        # than the Pallas kernel INSIDE this graph (39.9 vs 40.1 ms/frame
+        # with the take window gather) even though Pallas wins isolated.
+        rn_perf = getattr(radarnet, 'perf', None) or PerfConfig.from_env()
+        self._use_pallas_scatter = bool(rn_perf.pallas_scatter)
+        self._decode_chunks = rn_perf.decode_chunks
         self.radarnet_params, self.radarnet_state = radarnet_variables
         self.fusionnet_params, self.fusionnet_state = fusionnet_variables
         if optimize:
@@ -127,9 +131,9 @@ class TwoStagePipeline:
             zs = points[:, 2].astype(jnp.float32)
             # XLA scatter default — fuses better than the Pallas kernel
             # inside the serving graph since the take window gather
-            # (see _build_forward_batched); RCFD_PALLAS_SCATTER=1 opts in
-            env = os.environ.get('RCFD_PALLAS_SCATTER')
-            use_pallas = env == '1'
+            # (see _build_forward_batched); PerfConfig.pallas_scatter
+            # opts in
+            use_pallas = self._use_pallas_scatter
             from .ops.scatter_pallas import MAX_POINTS as _PALLAS_MAX_K
             if use_pallas and crops.shape[0] <= _PALLAS_MAX_K:
                 from .ops.scatter_pallas import scatter_quasi_dense_pallas
@@ -151,10 +155,11 @@ class TwoStagePipeline:
             input_depth = jnp.stack([depth_map, response_in], axis=-1)[None]
             if compute_dtype is not None:
                 input_depth = input_depth.astype(compute_dtype)
-            with _default_env('RCFD_FAST_MAX_WIDTH', '1600'):
-                output_depth, _ = self.fusionnet.apply(
-                    fn_params, fn_state, image_t, input_depth,
-                    training=False)
+            # self.fusionnet is the re-perfed (frame-width fast-decoder
+            # gate) copy built in __init__
+            output_depth, _ = self.fusionnet.apply(
+                fn_params, fn_state, image_t, input_depth,
+                training=False)
             return (output_depth[0, :, :, 0].astype(jnp.float32),
                     depth_map, response_map)
 
@@ -201,11 +206,9 @@ class TwoStagePipeline:
             # chunks 1/2 = 44.5/48.4) and B=8 unchunked now fits since
             # the width-gated fast decoder freed HBM — the 512 threshold
             # keeps the protection for large auto-sized K only.
-            # RCFD_DECODE_CHUNKS overrides
-            import os as _os
-            env_chunks = _os.environ.get('RCFD_DECODE_CHUNKS')
-            if env_chunks is not None:
-                n_chunks = max(1, int(env_chunks))
+            # PerfConfig.decode_chunks overrides
+            if self._decode_chunks is not None:
+                n_chunks = max(1, self._decode_chunks)
             else:
                 n_chunks = max(1, (b * k) // 512)
             while n_chunks > 1 and k % n_chunks != 0:
@@ -231,9 +234,8 @@ class TwoStagePipeline:
             # fuses better than the Pallas kernel (39.9 vs 40.1 ms/frame
             # at B=4 K=64 with the take window gather, tools/pipebisect
             # round-3) even though the Pallas kernel wins isolated —
-            # default XLA here; RCFD_PALLAS_SCATTER=1 opts back in.
-            env = os.environ.get('RCFD_PALLAS_SCATTER')
-            use_pallas = env == '1'
+            # default XLA here; PerfConfig.pallas_scatter opts back in.
+            use_pallas = self._use_pallas_scatter
 
             from .ops.scatter_pallas import MAX_POINTS as _PALLAS_MAX_K
 
@@ -265,11 +267,11 @@ class TwoStagePipeline:
             # motivated the 256 gate exists, and it measured
             # 40.9 -> 40.1 ms/frame (B=4 K=64, tools/pipebisect round-3).
             # The 256 default stays for standalone batch-32 FusionNet
-            # serving, which OOMs with the gate lifted.
-            with _default_env('RCFD_FAST_MAX_WIDTH', '1600'):
-                output_depth, _ = self.fusionnet.apply(
-                    fn_params, fn_state, images_t, input_depth,
-                    training=False)
+            # serving, which OOMs with the gate lifted (self.fusionnet is
+            # the re-perfed frame-width copy built in __init__).
+            output_depth, _ = self.fusionnet.apply(
+                fn_params, fn_state, images_t, input_depth,
+                training=False)
             return (output_depth[..., 0].astype(jnp.float32),
                     depth_map, response_map)
 

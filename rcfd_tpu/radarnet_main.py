@@ -231,15 +231,15 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
     """Jitted scatter inference over one frame with a padded point set
     (reference forward(), src/radarnet_main.py:534-591).
 
-    RCFD_PALLAS_SCATTER=1 routes the scatter composite through the Pallas
-    VMEM-accumulation kernel (ops/scatter_pallas.py) instead of XLA
-    scatters; identical winners, response quantized at the PNG codec's
+    model.perf.pallas_scatter (RCFD_PALLAS_SCATTER at construction)
+    routes the scatter composite through the Pallas VMEM-accumulation
+    kernel (ops/scatter_pallas.py) instead of XLA scatters; identical winners, response quantized at the PNG codec's
     14-bit precision."""
     patch_size = model.input_patch_size_image
     pad = patch_size[1] // 2
-    env = os.environ.get('RCFD_PALLAS_SCATTER')
-    if env is not None:
-        use_pallas = env == '1'
+    ps = getattr(getattr(model, 'perf', None), 'pallas_scatter', None)
+    if ps is not None:
+        use_pallas = ps
     else:
         # default ON for TPU backends (1.68x over the XLA scatter); the
         # depth maps are identical and responses match at the PNG codec's
@@ -300,11 +300,13 @@ def make_forward_fn_batched(model: RadarNetModel, transforms: Transforms,
     stays ~256 patches regardless of B (see pipeline.py)."""
     patch_size = model.input_patch_size_image
     pad = patch_size[1] // 2
-    env = os.environ.get('RCFD_PALLAS_SCATTER')
-    if env is not None:
-        use_pallas = env == '1'
+    ps = getattr(getattr(model, 'perf', None), 'pallas_scatter', None)
+    if ps is not None:
+        use_pallas = ps
     else:
         use_pallas = jax.default_backend() in ('tpu', 'axon')
+    decode_chunks = getattr(getattr(model, 'perf', None),
+                            'decode_chunks', None)
 
     @jax.jit
     def forward(params, state, images, points, valid):
@@ -321,9 +323,8 @@ def make_forward_fn_batched(model: RadarNetModel, transforms: Transforms,
         pdtype = jax.tree_util.tree_leaves(params)[0].dtype
         images_pad = images_pad.astype(pdtype)
 
-        env_chunks = os.environ.get('RCFD_DECODE_CHUNKS')
-        if env_chunks is not None:
-            n_chunks = max(1, int(env_chunks))
+        if decode_chunks is not None:
+            n_chunks = max(1, decode_chunks)
         else:
             n_chunks = max(1, (b * k) // 512)
         while n_chunks > 1 and k % n_chunks != 0:
@@ -589,6 +590,9 @@ def train(train_image_path,
     val_summary_writer = SummaryWriter(event_path + '-val',
                                        enabled=is_lead)
 
+    log('Tensorboard summaries: {} ({})'.format(
+        'enabled' if train_summary_writer.enabled else 'DISABLED',
+        event_path), log_path)
     log('Network: {} / {}  n_parameters={}'.format(
         encoder_type, decoder_type, model.n_parameters(params)), log_path)
     log('Training: batch_size={} patch_size={} K={} n_train_step={} '

@@ -13,8 +13,8 @@ import jax
 
 from fixtures import make_fusionnet_fixture
 
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tools'))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, 'tools'))
 
 pytestmark = pytest.mark.slow  # drives both full stacks
 
@@ -69,3 +69,25 @@ def test_parity_protocol_smoke(tmp_path):
         for k in ['mae', 'rmse', 'imae', 'irmse']:
             assert abs(ref[k] - ours[k]) <= max(1e-2, 1e-3 * abs(ref[k])), \
                 (k, ref[k], ours[k])
+
+
+@pytest.mark.slow
+def test_parity_protocol_synthetic_cli(tmp_path):
+    """The CLI's own entry point (--synthetic) must exercise the full
+    report path end-to-end — fixture generation, checkpoint round trip,
+    both evals, the side-by-side report — so the real-data run is a
+    data-swap away (VERDICT r3 next #8)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / 'out')
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'parity_protocol.py'),
+         '--synthetic', '--output_dirpath', out],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, 'JAX_PLATFORMS': 'cpu'})
+    assert result.returncode == 0, result.stderr[-3000:]
+    report = open(os.path.join(out, 'parity_report.md')).read()
+    assert 'MAE' in report
+    assert 'PARITY PASS' in result.stdout or 'running our stack only' \
+        in result.stdout, result.stdout[-2000:]

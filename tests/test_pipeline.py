@@ -204,32 +204,34 @@ def test_apply_chunked_matches_apply():
                                    atol=1e-6, err_msg=f'chunks={n_chunks}')
 
 
-def test_forward_batched_chunked_matches_unchunked(monkeypatch):
+def test_forward_batched_chunked_matches_unchunked():
     """The pipeline's chunked decode path must reproduce the unchunked
-    batched results exactly."""
+    batched results exactly. Chunking is a constructor-level PerfConfig
+    choice (decode_chunks) — two pipelines over the SAME weights."""
     import numpy as np
+
+    from rcfd_tpu.nn.perf import PerfConfig
+
     rng = np.random.default_rng(6)
-    radarnet = RadarNetModel(**RN_KWARGS)
-    fusionnet = FusionNetModel(**FN_KWARGS)
-    pipeline = TwoStagePipeline(
-        radarnet, fusionnet, radarnet.init(jax.random.PRNGKey(0)),
-        fusionnet.init(jax.random.PRNGKey(1)), H, W)
+    rn_vars = RadarNetModel(**RN_KWARGS).init(jax.random.PRNGKey(0))
+    fn_vars = FusionNetModel(**FN_KWARGS).init(jax.random.PRNGKey(1))
     b, k = 2, 4
-    images = (rng.random((b, H, W, 3), dtype=np.float32) * 255)
-    points = np.stack([
+    images = jnp.asarray(rng.random((b, H, W, 3), dtype=np.float32) * 255)
+    points = jnp.asarray(np.stack([
         rng.integers(0, W, (b, k)).astype(np.float32),
         rng.integers(0, H, (b, k)).astype(np.float32),
-        rng.random((b, k), dtype=np.float32) * 70 + 1], axis=-1)
-    valid = np.ones((b, k), bool)
+        rng.random((b, k), dtype=np.float32) * 70 + 1], axis=-1))
+    valid = jnp.ones((b, k), bool)
 
-    monkeypatch.setenv('RCFD_DECODE_CHUNKS', '1')
-    ref = pipeline.forward_batched(jnp.asarray(images), jnp.asarray(points),
-                                   jnp.asarray(valid))
-    del pipeline._forward_b  # force retrace with the new chunking
-    monkeypatch.setenv('RCFD_DECODE_CHUNKS', '2')
-    out = pipeline.forward_batched(jnp.asarray(images), jnp.asarray(points),
-                                   jnp.asarray(valid))
-    for a, r in zip(out, ref):
+    outs = []
+    for n_chunks in (1, 2):
+        radarnet = RadarNetModel(
+            **RN_KWARGS, perf=PerfConfig(decode_chunks=n_chunks))
+        fusionnet = FusionNetModel(**FN_KWARGS)
+        pipeline = TwoStagePipeline(radarnet, fusionnet, rn_vars, fn_vars,
+                                    H, W)
+        outs.append(pipeline.forward_batched(images, points, valid))
+    for a, r in zip(outs[1], outs[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-6, atol=1e-6)
 
@@ -263,35 +265,58 @@ def test_forward_sharded_matches_batched():
             np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-5)
 
 
-def test_default_env_scopes_and_restores(monkeypatch):
-    """_default_env sets a trace-time default only when the user has not
-    chosen, and never leaks past the context."""
-    from rcfd_tpu.pipeline import _default_env
+def test_pipeline_reperfs_fusionnet_width_without_env(monkeypatch):
+    """The fused pipeline widens FusionNet's fast-decoder width gate to
+    the frame width via a config-only model copy — the caller's model
+    object keeps its conservative default, no os.environ is touched, and
+    an explicit user choice wins over the pipeline default (replaces the
+    round-3 _default_env trace-time hack)."""
+    from rcfd_tpu.nn.perf import PerfConfig
 
     monkeypatch.delenv('RCFD_FAST_MAX_WIDTH', raising=False)
-    with _default_env('RCFD_FAST_MAX_WIDTH', '1600'):
-        assert os.environ['RCFD_FAST_MAX_WIDTH'] == '1600'
+    radarnet = RadarNetModel(**RN_KWARGS)
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    rn_vars = radarnet.init(jax.random.PRNGKey(0))
+    fn_vars = fusionnet.init(jax.random.PRNGKey(1))
+
+    pipeline = TwoStagePipeline(radarnet, fusionnet, rn_vars, fn_vars, H, W)
+    # pipeline copy widened; caller's object untouched; env untouched
+    assert pipeline.fusionnet is not fusionnet
+    assert pipeline.fusionnet.perf.fast_max_width == max(W, 256)
+    assert pipeline.fusionnet.decoder.perf.fast_max_width == max(W, 256)
+    assert fusionnet.perf.fast_max_width is None
+    assert fusionnet.decoder.perf.fast_max_width is None
     assert 'RCFD_FAST_MAX_WIDTH' not in os.environ
 
+    # an explicit user choice (constructor or env at construction) wins
+    fn_user = FusionNetModel(**FN_KWARGS,
+                             perf=PerfConfig(fast_max_width=256))
+    pipeline2 = TwoStagePipeline(radarnet, fn_user, rn_vars, fn_vars, H, W)
+    assert pipeline2.fusionnet is fn_user
+    assert pipeline2.fusionnet.perf.fast_max_width == 256
+
     monkeypatch.setenv('RCFD_FAST_MAX_WIDTH', '256')
-    with _default_env('RCFD_FAST_MAX_WIDTH', '1600'):
-        assert os.environ['RCFD_FAST_MAX_WIDTH'] == '256'
-    assert os.environ['RCFD_FAST_MAX_WIDTH'] == '256'
+    fn_env = FusionNetModel(**FN_KWARGS)
+    assert fn_env.perf.fast_max_width == 256
+    pipeline3 = TwoStagePipeline(radarnet, fn_env, rn_vars, fn_vars, H, W)
+    assert pipeline3.fusionnet is fn_env
 
 
 @pytest.mark.smoke
 def test_pallas_scatter_opt_in_matches_default(monkeypatch):
-    """The serving graph defaults to the XLA scatter (round-3); the
-    Pallas opt-in (interpret on CPU is not available, so compare the
-    env-off path against an explicit env=0 — both must route XLA and
-    agree bit-exactly with each other and with per-frame __call__)."""
+    """The serving graph defaults to the XLA scatter (round-3); an
+    explicit constructor opt-OUT (pallas_scatter=False) must route the
+    same XLA path and agree bit-exactly with the default."""
+    from rcfd_tpu.nn.perf import PerfConfig
+
+    monkeypatch.delenv('RCFD_PALLAS_SCATTER', raising=False)
     rng = np.random.default_rng(11)
     radarnet = RadarNetModel(**RN_KWARGS)
     fusionnet = FusionNetModel(**FN_KWARGS)
-    pipeline = TwoStagePipeline(
-        radarnet, fusionnet,
-        radarnet.init(jax.random.PRNGKey(0)),
-        fusionnet.init(jax.random.PRNGKey(1)), H, W)
+    rn_vars = radarnet.init(jax.random.PRNGKey(0))
+    fn_vars = fusionnet.init(jax.random.PRNGKey(1))
+    pipeline = TwoStagePipeline(radarnet, fusionnet, rn_vars, fn_vars, H, W)
+    assert pipeline._use_pallas_scatter is False  # default in this graph
     b, k = 2, 3
     images = jnp.asarray(rng.random((b, H, W, 3), np.float32) * 255)
     points = jnp.asarray(np.stack([
@@ -300,15 +325,156 @@ def test_pallas_scatter_opt_in_matches_default(monkeypatch):
         rng.random((b, k), np.float32) * 50 + 1], axis=-1))
     valid = jnp.ones((b, k), bool)
 
-    monkeypatch.delenv('RCFD_PALLAS_SCATTER', raising=False)
     dense_a, quasi_a, resp_a = pipeline.forward_batched(
         images, points, valid)
-    monkeypatch.setenv('RCFD_PALLAS_SCATTER', '0')
-    fwd = jax.jit(pipeline._build_forward_batched())
-    dense_b, quasi_b, resp_b = fwd(
-        pipeline.radarnet_params, pipeline.radarnet_state,
-        pipeline.fusionnet_params, pipeline.fusionnet_state,
+    rn_off = RadarNetModel(**RN_KWARGS,
+                           perf=PerfConfig(pallas_scatter=False))
+    pipeline_off = TwoStagePipeline(rn_off, fusionnet, rn_vars, fn_vars,
+                                    H, W)
+    dense_b, quasi_b, resp_b = pipeline_off.forward_batched(
         images, points, valid)
     np.testing.assert_array_equal(np.asarray(quasi_a), np.asarray(quasi_b))
     np.testing.assert_array_equal(np.asarray(resp_a), np.asarray(resp_b))
     np.testing.assert_array_equal(np.asarray(dense_a), np.asarray(dense_b))
+
+
+@pytest.mark.smoke
+def test_two_stage_parity_vs_reference_chain(tmp_path):
+    """COMPOSED two-sided parity (VERDICT r3 missing #3): the REFERENCE's
+    full two-stage chain — reference RadarNet scatter inference
+    (src/radarnet_main.py:534-591) -> real 16-bit PNG write/read round
+    trip with the reference codecs (save_depth x256 / save_response
+    x2^14, both RE-READ with load_depth x256 per src/datasets.py:412-415)
+    -> reference FusionNet forward (src/fusionnet_main.py:796-817) —
+    against TwoStagePipeline.__call__ with quantize_bridge=True on the
+    SAME converted random-init weights."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_import import import_reference
+    import torch
+
+    ref_radarnet_model = import_reference('radarnet_model')
+    ref_fusionnet_model = import_reference('fusionnet_model')
+    ref_rn_main = import_reference('radarnet_main')
+    ref_data_utils = import_reference('data_utils')
+
+    torch.manual_seed(0)
+    patch = (64, 64)  # square patch: reference boxes span +-pad columns
+    rn_kwargs = dict(RN_KWARGS, input_patch_size_image=patch)
+    ref_rn = ref_radarnet_model.RadarNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=patch,
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=rn_kwargs['n_filters_encoder_image'],
+        n_neurons_encoder_depth=rn_kwargs['n_neurons_encoder_depth'],
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=rn_kwargs['n_filters_decoder'],
+        weight_initializer='kaiming_uniform',
+        activation_func='leaky_relu', device=torch.device('cpu'))
+    ref_fn = ref_fusionnet_model.FusionNetModel(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type=FN_KWARGS['encoder_type'],
+        n_filters_encoder_image=FN_KWARGS['n_filters_encoder_image'],
+        n_filters_encoder_depth=FN_KWARGS['n_filters_encoder_depth'],
+        fusion_type=FN_KWARGS['fusion_type'],
+        decoder_type=FN_KWARGS['decoder_type'],
+        n_resolution_decoder=1,
+        n_filters_decoder=FN_KWARGS['n_filters_decoder'],
+        deconv_type='up', activation_func='leaky_relu',
+        weight_initializer='kaiming_uniform',
+        min_predict_depth=FN_KWARGS['min_predict_depth'],
+        max_predict_depth=FN_KWARGS['max_predict_depth'],
+        device=torch.device('cpu'))
+    # decondition near-ties in winner selection (untrained logits ~0)
+    with torch.no_grad():
+        ref_rn.decoder.output0.conv.weight.mul_(50.0)
+
+    rn_path = str(tmp_path / 'rn.pth')
+    fn_path = str(tmp_path / 'fn.pth')
+    ref_rn.save_model(rn_path, step=1, optimizer=torch.optim.Adam(
+        ref_rn.parameters(), lr=1e-4))
+    ref_fn.save_model(fn_path, step=1, optimizer=torch.optim.Adam(
+        ref_fn.parameters(), lr=1e-4))
+
+    ours_rn = RadarNetModel(**rn_kwargs)
+    ours_fn = FusionNetModel(**FN_KWARGS)
+    rn_vars = ours_rn.restore_checkpoint(rn_path)[:2]
+    fn_vars = ours_fn.restore_checkpoint(fn_path)[:2]
+
+    rng = np.random.default_rng(3)
+    n_points = 5
+    image = (rng.random((H, W, 3), dtype=np.float32) * 255)
+    points = np.stack([
+        rng.integers(0, W, n_points).astype(np.float32),
+        rng.integers(0, H, n_points).astype(np.float32),
+        rng.random(n_points, dtype=np.float32) * 70 + 1], axis=1)
+
+    # ---- reference stage 1: scatter inference ---------------------------
+    pad = patch[1] // 2
+    ref_rn.eval()
+    ref_fn.eval()
+    with torch.no_grad():
+        t_image = torch.from_numpy(
+            (image / 255.0).transpose(2, 0, 1)[None].astype(np.float32))
+        t_points = torch.from_numpy(points.copy())
+        t_points[:, 0] += pad
+        boxes = [torch.stack([
+            torch.stack([x - pad, torch.tensor(0.0), x + pad,
+                         torch.tensor(float(H))])
+            for x in t_points[:, 0]], dim=0)]
+        ref_depth, ref_response = ref_rn_main.forward(
+            model=ref_rn, image=t_image, radar_points=t_points,
+            bounding_boxes_list=boxes, device=torch.device('cpu'))
+    ref_depth = ref_depth.numpy()[0]
+    ref_response = ref_response.numpy()[0]
+
+    # ---- reference stage 1.5: the REAL PNG bridge ------------------------
+    # written with the bridge codecs (setup_dataset_nuscenes_radarnet.py:
+    # 344-345), read back the way FusionNet's datasets actually do —
+    # BOTH through load_depth x256 (src/datasets.py:412-415), which is
+    # the x64 response rescale quirk our fused bridge emulates.
+    depth_png = str(tmp_path / 'depth.png')
+    response_png = str(tmp_path / 'response.png')
+    ref_data_utils.save_depth(ref_depth, depth_png)
+    ref_data_utils.save_response(ref_response, response_png)
+    depth_rt = ref_data_utils.load_depth(depth_png)
+    response_rt = ref_data_utils.load_depth(response_png)  # x256, not x2^14
+
+    # ---- reference stage 2: FusionNet forward ----------------------------
+    with torch.no_grad():
+        t_input_depth = torch.from_numpy(np.stack(
+            [depth_rt, response_rt], axis=0)[None].astype(np.float32))
+        ref_dense = ref_fn.forward(image=t_image, input_depth=t_input_depth)
+    ref_dense = np.squeeze(ref_dense.numpy())
+
+    # ---- ours: one fused jitted program ----------------------------------
+    pipeline = TwoStagePipeline(
+        ours_rn, ours_fn, rn_vars, fn_vars, H, W,
+        normalized_image_range=(0, 1), quantize_bridge=True)
+    dense, quasi_depth, quasi_response = pipeline(
+        jnp.asarray(image)[None], jnp.asarray(points),
+        jnp.ones((n_points,), bool))
+
+    # bridge parity. Depth: winners can differ only at near-exact response
+    # ties (same budget as test_parity_scatter_inference); matched pixels
+    # must land on the exact x256 codec grid.
+    depth_mismatch = (
+        np.abs(np.asarray(quasi_depth) - depth_rt) > 1.5 / 256.0).mean()
+    assert depth_mismatch < 0.01, \
+        f'quasi-depth winner mismatch rate {depth_mismatch}'
+    # Response: forward parity is ~1e-3 relative on the sigmoid output
+    # (test_parity_radarnet); the x64 decode-scale quirk preserves the
+    # relative error on the values FusionNet actually sees (plus one
+    # codec quantization step).
+    np.testing.assert_allclose(
+        np.asarray(quasi_response) * RESPONSE_DECODE_SCALE, response_rt,
+        rtol=3e-3, atol=1.5 * RESPONSE_DECODE_SCALE / 2 ** 14)
+    # end-to-end dense depth: measured on this config max |diff| is
+    # ~0.04 m over a 1-100 m range (winner ties included) — pin it with
+    # headroom but tight enough that a real chain bug (wrong codec scale,
+    # missing x64 rescale, transform drift) fails loudly
+    dd = np.abs(np.asarray(dense) - ref_dense)
+    assert dd.max() < 0.5, f'dense depth max |diff| {dd.max()}'
+    assert np.percentile(dd, 99) < 0.1, \
+        f'dense depth p99 |diff| {np.percentile(dd, 99)}'
+    assert dd.mean() < 0.02, f'dense depth mean |diff| {dd.mean()}'

@@ -63,3 +63,33 @@ def test_make_data_split(tmp_path):
     assert len(train) == 15 and len(val) == 5
     assert not set(train) & set(val)
     assert set(train) | set(val) == set(range(20))
+
+
+def test_summary_writer_warns_once_when_tb_unavailable(tmp_path, capsys,
+                                                       monkeypatch):
+    """A torch-free deployment must not silently lose TB observability:
+    the degrade-to-no-op writer logs ONE loud warning per process and
+    exposes .enabled for the drivers' settings banner."""
+    import sys as _sys
+
+    from rcfd_tpu.utils import summary
+
+    # force the tensorboard import to fail
+    monkeypatch.setitem(_sys.modules, 'torch.utils.tensorboard', None)
+    monkeypatch.setattr(summary, '_WARNED', [False])
+
+    w1 = summary.SummaryWriter(str(tmp_path / 'ev1'))
+    w2 = summary.SummaryWriter(str(tmp_path / 'ev2'))
+    assert not w1.enabled and not w2.enabled
+    out = capsys.readouterr().out
+    assert out.count('TensorBoard summaries DISABLED') == 1
+    # no-op API still safe
+    w1.add_scalar('a', 1.0, 0)
+    w1.add_histogram('b', np.zeros(4), 0)
+    w1.flush()
+
+    # enabled=False (non-lead host) is intentional: no warning
+    monkeypatch.setattr(summary, '_WARNED', [False])
+    w3 = summary.SummaryWriter(str(tmp_path / 'ev3'), enabled=False)
+    assert not w3.enabled
+    assert 'DISABLED' not in capsys.readouterr().out

@@ -203,13 +203,19 @@ def format_table(ref, ours, tol_mm, tol_inv):
 
 def build_parser():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--fusionnet_checkpoint', type=str, required=True,
+    parser.add_argument('--synthetic', action='store_true',
+                        help='CI smoke: generate a tiny synthetic fixture '
+                             '+ random-init checkpoint and run the FULL '
+                             'report path (tiny net config overrides the '
+                             'release defaults); the real-data run is then '
+                             'a data-swap away')
+    parser.add_argument('--fusionnet_checkpoint', type=str, default=None,
                         help='reference-format .pth (released weights) or '
                              'native .npz')
-    parser.add_argument('--image_path', type=str, required=True)
-    parser.add_argument('--depth_path', type=str, required=True)
-    parser.add_argument('--response_path', type=str, required=True)
-    parser.add_argument('--ground_truth_path', type=str, required=True)
+    parser.add_argument('--image_path', type=str, default=None)
+    parser.add_argument('--depth_path', type=str, default=None)
+    parser.add_argument('--response_path', type=str, default=None)
+    parser.add_argument('--ground_truth_path', type=str, default=None)
     parser.add_argument('--normalized_image_range', nargs='+', type=float,
                         default=[0, 1])
     # network settings (canonical release config)
@@ -250,9 +256,57 @@ def build_parser():
     return parser
 
 
+def _setup_synthetic(args):
+    """--synthetic: build the fixture + random-init tiny checkpoint inside
+    the output dir and rewrite args to point at them."""
+    import jax
+
+    from fixtures import make_fusionnet_fixture
+    from rcfd_tpu.models import FusionNetModel
+
+    tiny = dict(
+        image=[8, 12, 16, 16, 16], depth=[4, 6, 8, 8, 8],
+        decoder=[16, 12, 8, 8, 8])
+    data_dir = os.path.join(args.output_dirpath, 'synthetic_data')
+    manifests = make_fusionnet_fixture(data_dir, n_samples=2,
+                                       height=32, width=48)
+    model = FusionNetModel(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type='fusionnet18_batch_norm',
+        n_filters_encoder_image=tiny['image'],
+        n_filters_encoder_depth=tiny['depth'],
+        fusion_type='weight_and_project',
+        decoder_type='multiscale_batch_norm',
+        n_resolution_decoder=1, n_filters_decoder=tiny['decoder'],
+        min_predict_depth=1.0, max_predict_depth=100.0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    ckpt = os.path.join(args.output_dirpath, 'synthetic-model-0.pth')
+    model.save_checkpoint(ckpt, params, state, step=0)
+
+    args.fusionnet_checkpoint = ckpt
+    args.image_path = manifests['image']
+    args.depth_path = manifests['depth']
+    args.response_path = manifests['response']
+    args.ground_truth_path = manifests['ground_truth']
+    args.n_filters_encoder_image = tiny['image']
+    args.n_filters_encoder_depth = tiny['depth']
+    args.n_filters_decoder = tiny['decoder']
+    return args
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dirpath, exist_ok=True)
+    if args.synthetic:
+        args = _setup_synthetic(args)
+    missing = [n for n in ('fusionnet_checkpoint', 'image_path',
+                           'depth_path', 'response_path',
+                           'ground_truth_path')
+               if getattr(args, n) is None]
+    if missing:
+        build_parser().error(
+            'the following arguments are required (or pass --synthetic): '
+            + ', '.join('--' + m for m in missing))
 
     net = dict(
         input_channels_image=args.input_channels_image,
