@@ -444,7 +444,8 @@ class DecoderBlock(Module):
                 # map, gather-add of its windows (fused_skip.py)
                 y2 = fused_skip_conv_add(
                     y1, w_mid[:, :, :co], skip, w_mid[:, :, co:],
-                    use_pallas=self.perf.fused_pool2_pallas)
+                    use_pallas=self.perf.fused_pool2_pallas,
+                    gather=self.perf.fused_pool2_gather)
             else:
                 # conv(concat([y1, skip]), W) == conv(y1, W[:cin_y]) +
                 # conv(skip, W[cin_y:]) — the concat never materializes
@@ -486,7 +487,8 @@ class DecoderBlock(Module):
                 if isinstance(skip, LazyColumnWindows):
                     y = fused_skip_conv_add(
                         deconv, w_mid[:, :, :co], skip, w_mid[:, :, co:],
-                        use_pallas=self.perf.fused_pool2_pallas)
+                        use_pallas=self.perf.fused_pool2_pallas,
+                        gather=self.perf.fused_pool2_gather)
                 else:
                     y = F.conv2d(deconv, w_mid[:, :, :co], stride=1) + \
                         F.conv2d(skip, w_mid[:, :, co:], stride=1)

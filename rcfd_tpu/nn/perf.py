@@ -50,7 +50,7 @@ from __future__ import annotations
 
 import copy
 import os
-from dataclasses import dataclass, fields, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 FAST_MAX_WIDTH_DEFAULT = 256
@@ -63,6 +63,7 @@ class PerfConfig:
     fused_upsample: bool = False
     fused_pool2: bool = False
     fused_pool2_pallas: bool = False
+    fused_pool2_gather: str = 'take'
     int8_tail: bool = False
     packed_deconv1: bool = False
     packed_tail: bool = True
@@ -75,10 +76,11 @@ class PerfConfig:
     decode_chunks: Optional[int] = None
 
     def __post_init__(self):
-        if self.pool_window_gather not in ('take', 'slice'):
-            raise ValueError(
-                f'pool_window_gather must be "take" or "slice", got '
-                f'{self.pool_window_gather!r}')
+        for name in ('pool_window_gather', 'fused_pool2_gather'):
+            v = getattr(self, name)
+            if v not in ('take', 'slice'):
+                raise ValueError(
+                    f'{name} must be "take" or "slice", got {v!r}')
 
     # -- resolved views (backend defaults) --------------------------------
 
@@ -116,6 +118,8 @@ class PerfConfig:
             fused_upsample=flag('RCFD_FUSED_UPSAMPLE') or False,
             fused_pool2=flag('RCFD_FUSED_POOL2') or False,
             fused_pool2_pallas=flag('RCFD_FUSED_POOL2_PALLAS') or False,
+            fused_pool2_gather=os.environ.get('RCFD_FUSED_POOL2_GATHER',
+                                              'take'),
             int8_tail=flag('RCFD_INT8_TAIL') or False,
             packed_deconv1=flag('RCFD_PACKED_DECONV1') or False,
             packed_tail=(flag('RCFD_PACKED_TAIL')

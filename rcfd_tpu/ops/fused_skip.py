@@ -124,18 +124,33 @@ def _corrections(lazy: LazyColumnWindows, w_skip):
     return corr_l, corr_r
 
 
-def _fused_xla(a, cg, lazy: LazyColumnWindows, corr_l, corr_r):
-    """Reference/fallback composition in plain XLA (the gather
-    materializes here — correct but not the fast path)."""
+def _fused_xla(a, cg, lazy: LazyColumnWindows, corr_l, corr_r,
+               gather: str = 'take'):
+    """Composition in plain XLA: window-gather conv(G) into the add.
+
+    gather='take' (default): per-column gather — the round-3 take-gather
+    lesson (ops/roi_pool.py window gather, −3.2 ms/frame end-to-end) was
+    that XLA's gather emitter writes the consumer's layout directly,
+    where the vmapped dynamic_slice form lowers to a while-loop of
+    dynamic-update-slices plus a relayout copy in the full serving graph.
+    The round-3 'neutral-to-slower in context' verdict on this fusion was
+    measured on the 'slice' form only. gather='slice' keeps that form for
+    comparison."""
     n, ph, wg, co = cg.shape
     k = lazy.starts.shape[1]
     pw = lazy.pooled_w
 
-    def window_one(cg_n, s_k):
-        return jax.lax.dynamic_slice(cg_n, (0, s_k, 0), (ph, pw, co))
+    if gather == 'take':
+        cols = lazy.starts[:, :, None] + jnp.arange(pw)      # (N, K, pw)
+        win = jax.vmap(lambda g_n, c_n: jnp.take(g_n, c_n, axis=1))(
+            cg, cols)                                        # (N, ph, K, pw, Co)
+        win = jnp.moveaxis(win, 1, 2)                        # (N, K, ph, pw, Co)
+    else:
+        def window_one(cg_n, s_k):
+            return jax.lax.dynamic_slice(cg_n, (0, s_k, 0), (ph, pw, co))
 
-    win = jax.vmap(lambda gn, sk: jax.vmap(
-        lambda s_: window_one(gn, s_))(sk))(cg, lazy.starts)
+        win = jax.vmap(lambda gn, sk: jax.vmap(
+            lambda s_: window_one(gn, s_))(sk))(cg, lazy.starts)
     win = win.reshape(n * k, ph, pw, co)
     y = a + win.astype(a.dtype)
     c0 = y[:, :, 0, :].astype(jnp.float32) - corr_l.reshape(n * k, ph, -1)
@@ -251,7 +266,8 @@ def _fused_pallas(a, cg, lazy: LazyColumnWindows, corr_l, corr_r,
 
 
 def fused_skip_conv_add(y1, w_a, lazy: LazyColumnWindows, w_skip,
-                        use_pallas: bool = None, interpret: bool = False):
+                        use_pallas: bool = None, interpret: bool = False,
+                        gather: str = 'take'):
     """conv2d(y1, w_a) + conv2d(lazy.materialize(), w_skip) without
     materializing the windows: conv once on the global map, gather-add
     windows of the result with exact one-column boundary corrections
@@ -299,4 +315,4 @@ def fused_skip_conv_add(y1, w_a, lazy: LazyColumnWindows, w_skip,
         out = _fused_pallas(a, cg, lazy, corr_l, corr_r,
                             interpret=interpret)
         return out[..., :co]
-    return _fused_xla(a, cg, lazy, corr_l, corr_r)
+    return _fused_xla(a, cg, lazy, corr_l, corr_r, gather=gather)

@@ -136,3 +136,29 @@ def test_lazy_skip_end_to_end_matches_eager(rng, monkeypatch):
                          training=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_fused_xla_take_gather_matches_slice(rng):
+    """_fused_xla's take-form window gather (round-4: the in-context
+    fusion-loss hypothesis) must be bit-identical to the slice form."""
+    import jax.numpy as jnp
+
+    from rcfd_tpu.nn import functional as NF
+    from rcfd_tpu.ops.fused_skip import (LazyColumnWindows, _corrections,
+                                         _fused_xla)
+
+    n, k, ph, pw, c, co = 2, 5, 12, 8, 6, 4
+    wf = 30
+    g = jnp.asarray(rng.random((n, ph, wf + pw, c), np.float32))
+    g = g.at[:, :, wf:, :].set(0)
+    starts = jnp.asarray(rng.integers(0, wf + 1, (n, k)).astype(np.int32))
+    lazy = LazyColumnWindows(g, starts, pw)
+    w_skip = jnp.asarray(rng.random((3, 3, c, co), np.float32) * 0.1)
+    a = jnp.asarray(rng.random((n * k, ph, pw, co), np.float32))
+
+    cg = NF.conv2d(lazy.g, w_skip, stride=1)
+    cl, cr = _corrections(lazy, w_skip)
+    out_take = _fused_xla(a, cg, lazy, cl, cr, gather='take')
+    out_slice = _fused_xla(a, cg, lazy, cl, cr, gather='slice')
+    np.testing.assert_array_equal(np.asarray(out_take),
+                                  np.asarray(out_slice))

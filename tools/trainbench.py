@@ -1,0 +1,220 @@
+"""Loader-fed training-throughput harness (VERDICT r4 item #5).
+
+Measures the REAL end-to-end training path — DataLoader (threaded workers
++ native batched PNG decode) -> device_put double-buffer (device_prefetch)
+-> jitted DP train step over an n-device 'data' mesh — not synthetic
+device-resident tensors. This is the input-pipeline-attached counterpart
+of the reference's train loop (/root/reference/src/fusionnet_main.py:332-474).
+
+Rows it produces (docs/PERF.md round-4 training table):
+  - CPU mesh scaling: --n_devices 2/4/8 under JAX_PLATFORMS=cpu +
+    --xla_force_host_platform_device_count (relative scaling only; CPU
+    absolute numbers are meaningless for the chip)
+  - single real chip: default env (axon), --n_devices 1
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/trainbench.py --n_devices 8 --model tiny
+  python tools/trainbench.py --n_devices 1 --model canonical \
+      --height 448 --width 448 --batch_size 8   # real chip
+
+Prints one JSON line:
+  {"samples_per_s": ..., "samples_per_s_per_chip": ..., "step_ms": ...,
+   "loader_only_samples_per_s": ..., "n_devices": ..., ...}
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tests'))
+
+# persistent compile cache: the bench graphs repeat across runs/rounds
+os.environ.setdefault('RCFD_COMPILE_CACHE', os.path.join(REPO, '.xla_cache'))
+os.environ.setdefault('RCFD_COMPILE_CACHE_MIN_SECS', '2')
+
+
+MODELS = {
+    'tiny': dict(
+        n_filters_encoder_image=[8, 12, 16, 16, 16],
+        n_filters_encoder_depth=[4, 6, 8, 8, 8],
+        n_filters_decoder=[16, 12, 8, 8, 8]),
+    # bash/train_fusionnet_nuscenes.sh
+    'canonical': dict(
+        n_filters_encoder_image=[32, 64, 128, 256, 256, 256],
+        n_filters_encoder_depth=[16, 32, 64, 128, 128, 128],
+        n_filters_decoder=[256, 256, 128, 64, 64, 32]),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--n_devices', type=int, default=None)
+    parser.add_argument('--model', choices=sorted(MODELS), default='tiny')
+    parser.add_argument('--height', type=int, default=64)
+    parser.add_argument('--width', type=int, default=96)
+    parser.add_argument('--source_height', type=int, default=None,
+                        help='on-disk frame height (crop source); '
+                             'default height + 16')
+    parser.add_argument('--source_width', type=int, default=None)
+    parser.add_argument('--batch_size', type=int, default=None,
+                        help='default: n_devices samples')
+    parser.add_argument('--n_samples', type=int, default=64,
+                        help='fixture size (loader cycles epochs)')
+    parser.add_argument('--n_steps', type=int, default=20)
+    parser.add_argument('--n_warmup', type=int, default=3)
+    parser.add_argument('--n_thread', type=int, default=4)
+    parser.add_argument('--train_dtype', default=None,
+                        choices=[None, 'bfloat16'], nargs='?')
+    parser.add_argument('--data_dir', type=str, default=None,
+                        help='reuse an existing fixture dir')
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fixtures import make_fusionnet_fixture
+    from rcfd_tpu.data import io as data_utils
+    from rcfd_tpu.data.datasets import FusionNetTrainingDataset
+    from rcfd_tpu.data.loader import DataLoader, device_prefetch
+    from rcfd_tpu.data.transforms import Transforms
+    from rcfd_tpu.fusionnet_main import _make_train_step
+    from rcfd_tpu.models import FusionNetModel
+    from rcfd_tpu.parallel.optim import init_adam
+
+    n_devices = args.n_devices or jax.device_count()
+    batch_size = args.batch_size or n_devices
+    assert batch_size % n_devices == 0
+    src_h = args.source_height or args.height + 16
+    src_w = args.source_width or args.width + 16
+
+    # ---- fixture + the real loader stack -------------------------------
+    data_dir = args.data_dir or os.path.join(
+        tempfile.gettempdir(),
+        f'trainbench_{src_h}x{src_w}_{args.n_samples}')
+    manifest_path = os.path.join(data_dir, 'image.txt')
+    if not os.path.exists(manifest_path):
+        make_fusionnet_fixture(data_dir, n_samples=args.n_samples,
+                               height=src_h, width=src_w)
+    manifests = {n: os.path.join(data_dir, f'{n}.txt')
+                 for n in ['image', 'depth', 'response', 'ground_truth',
+                           'lidar']}
+
+    dataset = FusionNetTrainingDataset(
+        image_paths=data_utils.read_paths(manifests['image']),
+        depth_paths=data_utils.read_paths(manifests['depth']),
+        response_paths=data_utils.read_paths(manifests['response']),
+        ground_truth_paths=data_utils.read_paths(manifests['ground_truth']),
+        lidar_map_paths=data_utils.read_paths(manifests['lidar']),
+        shape=(args.height, args.width),
+        random_crop_type=['horizontal', 'vertical'])
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
+                        num_workers=args.n_thread, seed=0, drop_last=True)
+
+    # ---- loader-only throughput (the input-pipeline roofline) ----------
+    t0 = time.perf_counter()
+    n_loader = 0
+    loader.set_epoch(0)
+    for batch in loader:
+        n_loader += batch[0].shape[0]
+    loader_dt = time.perf_counter() - t0
+    loader_sps = n_loader / loader_dt
+
+    # ---- model + sharded step ------------------------------------------
+    cfg = MODELS[args.model]
+    model = FusionNetModel(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type='fusionnet18_batch_norm',
+        fusion_type='weight_and_project',
+        decoder_type='multiscale_batch_norm',
+        n_resolution_decoder=1,
+        min_predict_depth=1.0, max_predict_depth=100.0, **cfg)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    opt_state = init_adam(params)
+    if args.train_dtype == 'bfloat16':
+        from rcfd_tpu.nn.core import cast_tree
+        params = cast_tree(params, jnp.bfloat16)
+        state = cast_tree(state, jnp.bfloat16)
+        opt_state = cast_tree(opt_state, jnp.bfloat16)
+
+    transforms = Transforms(
+        normalized_image_range=[0, 1],
+        random_brightness=[0.8, 1.2],
+        random_contrast=[0.8, 1.2],
+        random_saturation=[0.8, 1.2],
+        random_flip_type=['horizontal'])
+    use_mesh = n_devices > 1
+    step_fn = _make_train_step(
+        model, transforms, loss_func='l1', w_smoothness=0.1,
+        w_lidar_loss=2.0, w_weight_decay=0.0,
+        loss_smoothness_kernel_size=-1, outlier_kernel_size=7,
+        outlier_threshold=1.5, dilation_kernel_size=-1,
+        axis_name='data' if use_mesh else None)
+
+    if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rcfd_tpu.parallel.mesh import data_parallel_step, get_mesh
+        mesh = get_mesh(n_devices)
+        step_jit = data_parallel_step(mesh, step_fn)
+        batch_sharding = NamedSharding(mesh, P('data'))
+        replicated = NamedSharding(mesh, P())
+        params = jax.device_put(params, replicated)
+        state = jax.device_put(state, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
+    else:
+        batch_sharding = None
+        step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
+    # ---- timed loop: loader -> prefetch -> sharded step -----------------
+    rng = jax.random.PRNGKey(1)
+    lr = jnp.float32(1e-4)
+    aug_p = jnp.float32(1.0)
+    n_done = 0
+    t_start = None
+    epoch = 0
+    last_info = None
+    while n_done < args.n_steps + args.n_warmup:
+        epoch += 1
+        loader.set_epoch(epoch)
+        for batch in device_prefetch(loader, batch_sharding):
+            rng, key = jax.random.split(rng)
+            params, state, opt_state, last_info = step_jit(
+                params, state, opt_state, batch, key, lr, aug_p)
+            n_done += 1
+            if n_done == args.n_warmup:
+                jax.block_until_ready(last_info['loss'])
+                t_start = time.perf_counter()
+                n_timed_start = n_done
+            if n_done >= args.n_steps + args.n_warmup:
+                break
+    loss = float(last_info['loss'])  # fences the last step
+    dt = time.perf_counter() - t_start
+    n_timed = n_done - n_timed_start
+    step_ms = dt / n_timed * 1e3
+    sps = n_timed * batch_size / dt
+    assert np.isfinite(loss), loss
+
+    print(json.dumps({
+        'harness': 'trainbench',
+        'model': args.model,
+        'backend': jax.devices()[0].platform,
+        'n_devices': n_devices,
+        'batch_size': batch_size,
+        'shape': [args.height, args.width],
+        'train_dtype': args.train_dtype or 'float32',
+        'step_ms': round(step_ms, 3),
+        'samples_per_s': round(sps, 3),
+        'samples_per_s_per_chip': round(sps / n_devices, 3),
+        'loader_only_samples_per_s': round(loader_sps, 3),
+        'loss': round(loss, 5),
+    }))
+
+
+if __name__ == '__main__':
+    main()
