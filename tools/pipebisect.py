@@ -76,7 +76,10 @@ def main():
     from rcfd_tpu.ops.scatter_pallas import MAX_POINTS as _PALLAS_MAX_K
     from rcfd_tpu.ops.scatter_pallas import scatter_quasi_dense_pallas
 
-    use_pallas = jax.default_backend() in ('tpu', 'axon')
+    # mirror the shipped serving graph's choice (XLA scatter default in
+    # THIS graph; PerfConfig.pallas_scatter / RCFD_PALLAS_SCATTER=1 at
+    # construction opts in) so the bisect numbers match the pipeline
+    use_pallas = pipe._use_pallas_scatter
 
     def stage_rn(rn_p, rn_s, images, points):
         (images_t,) = pipe.transforms.transform(
