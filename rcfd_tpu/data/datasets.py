@@ -273,6 +273,12 @@ def _native_batch_decode(image_paths, depth_stream_paths, n_threads=8):
     on one core it has no advantage and this container's shared-host
     scheduling makes spawned decode threads erratic)."""
     import os
+    from .raw_cache import cache_dir
+    if cache_dir() is not None:
+        # decode-once raw cache active: route through the per-sample
+        # io.load_* path so reads hit (and populate) the cache — after
+        # the first epoch that path is mmap-bound, faster than any decode
+        return None
     env = os.environ.get('RCFD_NATIVE_IO')
     if env == '0':
         return None
@@ -327,6 +333,9 @@ class FusionNetTrainingDataset:
         return self.n_sample
 
     def get(self, index: int, rng: np.random.Generator):
+        from .raw_cache import cache_dir
+        if cache_dir() is not None and self.do_random_crop:
+            return self._get_raw_window(index, rng)
         image = data_utils.load_image(self.image_paths[index], normalize=False,
                                       data_format='HWC')
         # NOTE: the reference loads the response stream with load_depth
@@ -345,6 +354,25 @@ class FusionNetTrainingDataset:
                 rng=rng)
         return tuple(t.astype(np.float32)
                      for t in [image, depth, response, ground_truth, lidar_map])
+
+    def _get_raw_window(self, index: int, rng: np.random.Generator):
+        """Raw-cache fast path: crop the mmap'd RAW arrays first, convert
+        only the window (the full-frame u16->f32 rescale dominates warm
+        loads otherwise). Values identical to get(): crop and the
+        elementwise conversions commute, and the crop coordinates use the
+        same rng stream (random_crop reads only shapes + rng)."""
+        image_raw = data_utils.load_image_raw(self.image_paths[index])
+        stream_raws = [
+            data_utils.load_depth_raw(p[index])[..., None]
+            for p in (self.depth_paths, self.response_paths,
+                      self.ground_truth_paths, self.lidar_map_paths)]
+        cropped = random_crop(
+            inputs=[image_raw] + stream_raws, shape=self.shape,
+            crop_type=self.random_crop_type, rng=rng)
+        image = np.asarray(cropped[0], np.float32)
+        streams = [data_utils.depth_from_raw(c[..., 0], data_format='HWC')
+                   for c in cropped[1:]]
+        return (image, *streams)
 
     def get_batch(self, indices, rngs, n_threads: int = 8):
         """Batched decode via the native loader (one threaded C++ call per

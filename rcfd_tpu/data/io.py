@@ -46,16 +46,36 @@ def write_paths(filepath: str, paths: List[str]):
             o.write(path + '\n')
 
 
-def load_image(path: str, normalize: bool = False, data_format: str = 'HWC'):
-    """Load an RGB image as float32 (src/data_utils.py:167-198)."""
+def _decode_image_f32(path: str):
     nat = _native()
     if nat is not None:
         try:
-            image = nat.read_image(path)
+            return nat.read_image(path)
         except Exception:
-            image = np.asarray(Image.open(path).convert('RGB'), np.float32)
+            pass
+    return np.asarray(Image.open(path).convert('RGB'), np.float32)
+
+
+def load_image_raw(path: str):
+    """uint8 (H, W, 3) raw image; an mmap when the raw cache is active.
+    Convert (a window of) it with .astype(np.float32) — cropping the raw
+    first skips the full-frame conversion (see datasets.py)."""
+    from .raw_cache import cache_dir, load_raw
+
+    decode = lambda: _decode_image_f32(path).astype(np.uint8)  # noqa: E731
+    if cache_dir() is not None:
+        return load_raw(path, 'image', decode)
+    return decode()
+
+
+def load_image(path: str, normalize: bool = False, data_format: str = 'HWC'):
+    """Load an RGB image as float32 (src/data_utils.py:167-198)."""
+    from .raw_cache import cache_dir
+
+    if cache_dir() is not None:
+        image = load_image_raw(path).astype(np.float32)
     else:
-        image = np.asarray(Image.open(path).convert('RGB'), np.float32)
+        image = _decode_image_f32(path)
     if data_format == 'HWC':
         pass
     elif data_format == 'CHW':
@@ -80,8 +100,31 @@ def _expand(z, data_format):
     raise ValueError('Unsupported data format: {}'.format(data_format))
 
 
+def load_depth_raw(path: str):
+    """Raw PNG integer array (H, W); an mmap when the raw cache is
+    active. Convert with depth_from_raw (per-caller multiplier — the
+    same file may legitimately be read under x256 and x2^14)."""
+    from .raw_cache import cache_dir, load_raw
+
+    decode = lambda: np.asarray(Image.open(path), np.int64)  # noqa: E731
+    if cache_dir() is not None:
+        return load_raw(path, 'png_int', decode)
+    return decode()
+
+
+def depth_from_raw(raw, multiplier: float = 256.0, data_format: str = 'HW'):
+    """Raw PNG integers -> the load_depth float semantics."""
+    z = np.asarray(raw, np.float32) / np.float32(multiplier)
+    z[z <= 0] = 0.0
+    return _expand(z, data_format)
+
+
 def load_depth(path: str, multiplier: float = 256.0, data_format: str = 'HW'):
     """Load a depth map from a 16/32-bit PNG (src/data_utils.py:238-269)."""
+    from .raw_cache import cache_dir
+
+    if cache_dir() is not None:
+        return depth_from_raw(load_depth_raw(path), multiplier, data_format)
     nat = _native()
     if nat is not None:
         try:
@@ -113,6 +156,13 @@ def save_depth(z, path: str, multiplier: float = 256.0):
 
 def load_response(path: str, multiplier: float = 2 ** 14, data_format: str = 'HW'):
     """Load a response (confidence) map (src/data_utils.py:288-318)."""
+    from .raw_cache import cache_dir, load_raw
+
+    if cache_dir() is not None:
+        raw = load_raw(path, 'png_int',
+                       lambda: np.asarray(Image.open(path), np.int64))
+        return _expand(raw.astype(np.float32) / np.float32(multiplier),
+                       data_format)
     response = np.array(Image.open(path), dtype=np.float32)
     response = response / multiplier
     return _expand(response, data_format)

@@ -73,7 +73,13 @@ def main():
                         choices=[None, 'bfloat16'], nargs='?')
     parser.add_argument('--data_dir', type=str, default=None,
                         help='reuse an existing fixture dir')
+    parser.add_argument('--raw_cache', type=str, default=None,
+                        help='decode-once raw cache dir '
+                             '(rcfd_tpu/data/raw_cache.py); steady-state '
+                             'loader throughput needs one warm epoch')
     args = parser.parse_args()
+    if args.raw_cache:
+        os.environ['RCFD_RAW_CACHE'] = args.raw_cache
 
     import jax
     import jax.numpy as jnp
