@@ -329,9 +329,12 @@ def main():
     # a parsed line even if the caller kills us: a SIGTERM handler and an
     # absolute watchdog timer.
     t0 = time.monotonic()
-    total = float(os.environ.get('RCFD_BENCH_TOTAL_BUDGET', '1200'))
+    # the driver's own timeout is > 1500 s (round 3's tail captured our
+    # 1500 s message before the rc=124 kill); stay safely under it while
+    # giving the scan upgrade as much compile headroom as possible
+    total = float(os.environ.get('RCFD_BENCH_TOTAL_BUDGET', '1380'))
     signal.signal(signal.SIGTERM, _emit_best_and_exit)
-    watchdog = threading.Timer(total + 90, _emit_best_and_exit)
+    watchdog = threading.Timer(min(total + 90, 1470), _emit_best_and_exit)
     watchdog.daemon = True
     watchdog.start()
 
