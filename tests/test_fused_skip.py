@@ -93,10 +93,8 @@ def test_take_gather_matches_slice(rng, monkeypatch, scale, out_w):
         for _ in range(2)]).astype(np.float32))
     kw = dict(box_width=patch_w, box_y1=0, box_y2=h, spatial_scale=scale,
               output_size=(int(h * scale), out_w))
-    monkeypatch.setenv('RCFD_POOL_WINDOW_GATHER', 'slice')
-    ref = roi_pool_column(feat, x1, **kw)
-    monkeypatch.setenv('RCFD_POOL_WINDOW_GATHER', 'take')
-    out = roi_pool_column(feat, x1, **kw)
+    ref = roi_pool_column(feat, x1, gather_mode='slice', **kw)
+    out = roi_pool_column(feat, x1, gather_mode='take', **kw)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
@@ -124,18 +122,22 @@ def test_lazy_skip_end_to_end_matches_eager(rng, monkeypatch):
         rng.uniform(1, 60, 4)], axis=1).astype(np.float32))
     x1 = jnp.asarray(points[None, :, 0])
 
-    monkeypatch.setenv('RCFD_FUSED_POOL2', '0')
+    from rcfd_tpu.nn.perf import with_perf
+
     ref, _ = model.apply(params, state, image, points, x1, box_height=64,
                          training=False)
     # fused emission + XLA fallback gather (CPU); fast decoder on so the
-    # lazy skip reaches the split-conv path
-    monkeypatch.setenv('RCFD_FUSED_POOL2', '1')
-    monkeypatch.setenv('RCFD_FUSED_POOL2_PALLAS', '0')
-    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
-    out, _ = model.apply(params, state, image, points, x1, box_height=64,
-                         training=False)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=5e-4, atol=5e-4)
+    # lazy skip reaches the split-conv path — constructor-level toggles
+    # via a config-only copy (with_perf)
+    for gather in ('take', 'slice'):
+        fused = with_perf(model, model.perf.replace(
+            fused_pool2=True, fused_pool2_pallas=False, fast_decoder=True,
+            fused_pool2_gather=gather))
+        out, _ = fused.apply(params, state, image, points, x1,
+                             box_height=64, training=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f'gather={gather}')
 
 
 def test_fused_xla_take_gather_matches_slice(rng):

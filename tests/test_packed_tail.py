@@ -16,6 +16,13 @@ import jax.numpy as jnp
 
 from rcfd_tpu.models.networks import MultiScaleDecoder
 from rcfd_tpu.nn.optimize import fold_batch_norm
+from rcfd_tpu.nn.perf import PerfConfig, with_perf
+
+
+def _re(module, **changes):
+    """Config-only copy of a module with perf gates toggled (the
+    constructor-threaded replacement for the old env-var toggles)."""
+    return with_perf(module, module.perf.replace(**changes))
 
 
 def _mk_decoder(use_bn):
@@ -60,10 +67,10 @@ def test_packed_tail_matches_unpacked(use_bn, rng, monkeypatch):
         scramble(state)
     latent, skips = _inputs(rng)
 
-    monkeypatch.setenv('RCFD_PACKED_TAIL', '0')
-    ref, _ = dec(params, state, latent, skips, training=False)
-    monkeypatch.setenv('RCFD_PACKED_TAIL', '1')
-    out, _ = dec(params, state, latent, skips, training=False)
+    ref, _ = _re(dec, packed_tail=False)(
+        params, state, latent, skips, training=False)
+    out, _ = _re(dec, packed_tail=True)(
+        params, state, latent, skips, training=False)
 
     np.testing.assert_allclose(
         np.asarray(out[-1]), np.asarray(ref[-1]), rtol=2e-5, atol=2e-5)
@@ -75,10 +82,10 @@ def test_packed_tail_matches_after_bn_fold(rng, monkeypatch):
     params, state = fold_batch_norm(params, state)
     latent, skips = _inputs(rng)
 
-    monkeypatch.setenv('RCFD_PACKED_TAIL', '0')
-    ref, _ = dec(params, state, latent, skips, training=False)
-    monkeypatch.setenv('RCFD_PACKED_TAIL', '1')
-    out, _ = dec(params, state, latent, skips, training=False)
+    ref, _ = _re(dec, packed_tail=False)(
+        params, state, latent, skips, training=False)
+    out, _ = _re(dec, packed_tail=True)(
+        params, state, latent, skips, training=False)
     np.testing.assert_allclose(
         np.asarray(out[-1]), np.asarray(ref[-1]), rtol=2e-5, atol=2e-5)
 
@@ -88,8 +95,8 @@ def test_packed_tail_not_used_in_training(rng, monkeypatch):
     dec = _mk_decoder(True)
     params, state = dec.init(jax.random.PRNGKey(7))
     latent, skips = _inputs(rng)
-    monkeypatch.setenv('RCFD_PACKED_TAIL', '1')
-    _, new_state = dec(params, state, latent, skips, training=True)
+    _, new_state = _re(dec, packed_tail=True)(
+        params, state, latent, skips, training=True)
     nbt0 = state['deconv0']['conv']['batch_norm']['num_batches_tracked']
     nbt1 = new_state['deconv0']['conv']['batch_norm']['num_batches_tracked']
     assert int(nbt1) == int(nbt0) + 1
@@ -132,10 +139,10 @@ def test_packed_deconv1_in_decoder(rng, monkeypatch):
     params, state = dec.init(jax.random.PRNGKey(13))
     latent, skips = _inputs(rng)
 
-    monkeypatch.setenv('RCFD_PACKED_DECONV1', '0')
-    ref, _ = dec(params, state, latent, skips, training=False)
-    monkeypatch.setenv('RCFD_PACKED_DECONV1', '1')
-    out, _ = dec(params, state, latent, skips, training=False)
+    ref, _ = _re(dec, packed_deconv1=False)(
+        params, state, latent, skips, training=False)
+    out, _ = _re(dec, packed_deconv1=True)(
+        params, state, latent, skips, training=False)
     np.testing.assert_allclose(
         np.asarray(out[-1]), np.asarray(ref[-1]), rtol=2e-5, atol=2e-5)
 
@@ -157,9 +164,8 @@ def test_packed_deconv1_skipped_when_not_2x(rng, monkeypatch):
         jnp.asarray(rng.standard_normal((1, 8, 12, 8)), jnp.float32),
         jnp.asarray(rng.standard_normal((1, 4, 6, 12)), jnp.float32),
     ]
-    monkeypatch.setenv('RCFD_PACKED_DECONV1', '1')
-    monkeypatch.setenv('RCFD_PACKED_TAIL', '0')
-    out, _ = dec(params, state, latent, skips, training=False)
+    out, _ = _re(dec, packed_deconv1=True, packed_tail=False)(
+        params, state, latent, skips, training=False)
     assert out[-1].shape[1:3] == (66, 96)
 
 
@@ -190,10 +196,10 @@ def test_fast_decoder_block_matches_normal(use_bn, with_skip, rng,
     skip = jnp.asarray(rng.standard_normal((2, 12, 20, 6)), jnp.float32) \
         if with_skip else None
 
-    monkeypatch.setenv('RCFD_FAST_DECODER', '0')
-    ref, _ = block(params, state, x, skip=skip, training=False)
-    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
-    out, _ = block(params, state, x, skip=skip, training=False)
+    ref, _ = _re(block, fast_decoder=False)(
+        params, state, x, skip=skip, training=False)
+    out, _ = _re(block, fast_decoder=True)(
+        params, state, x, skip=skip, training=False)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
@@ -204,8 +210,8 @@ def test_fast_decoder_block_not_used_for_odd_resize(rng, monkeypatch):
     block = DecoderBlock(10, 0, 8, use_batch_norm=False, deconv_type='up')
     params, state = block.init(jax.random.PRNGKey(23))
     x = jnp.asarray(rng.standard_normal((1, 6, 10, 10)), jnp.float32)
-    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
-    y, _ = block(params, state, x, shape=(13, 21), training=False)
+    y, _ = _re(block, fast_decoder=True)(
+        params, state, x, shape=(13, 21), training=False)
     assert y.shape[1:3] == (13, 21)
 
 
@@ -216,8 +222,8 @@ def test_fast_decoder_block_training_updates_bn(rng, monkeypatch):
     params, state = block.init(jax.random.PRNGKey(29))
     x = jnp.asarray(rng.standard_normal((2, 6, 10, 10)), jnp.float32)
     skip = jnp.asarray(rng.standard_normal((2, 12, 20, 6)), jnp.float32)
-    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
-    _, new_state = block(params, state, x, skip=skip, training=True)
+    _, new_state = _re(block, fast_decoder=True)(
+        params, state, x, skip=skip, training=True)
     nbt0 = state['conv']['batch_norm']['num_batches_tracked']
     nbt1 = new_state['conv']['batch_norm']['num_batches_tracked']
     assert int(nbt1) == int(nbt0) + 1
@@ -233,10 +239,10 @@ def test_split_conv_path_matches_on_odd_resize(rng, monkeypatch):
     # 13 != 2*6: odd resize -> normal deconv + split conv2
     skip = jnp.asarray(rng.standard_normal((2, 13, 21, 6)), jnp.float32)
 
-    monkeypatch.setenv('RCFD_FAST_DECODER', '0')
-    ref, _ = block(params, state, x, skip=skip, training=False)
-    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
-    out, _ = block(params, state, x, skip=skip, training=False)
+    ref, _ = _re(block, fast_decoder=False)(
+        params, state, x, skip=skip, training=False)
+    out, _ = _re(block, fast_decoder=True)(
+        params, state, x, skip=skip, training=False)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
@@ -254,10 +260,10 @@ def test_fast_decoder_block_bf16_within_tolerance(rng, monkeypatch):
     x = jnp.asarray(rng.standard_normal((2, 6, 10, 10)), jnp.bfloat16)
     skip = jnp.asarray(rng.standard_normal((2, 12, 20, 6)), jnp.bfloat16)
 
-    monkeypatch.setenv('RCFD_FAST_DECODER', '0')
-    ref, _ = block(params, state, x, skip=skip, training=False)
-    monkeypatch.setenv('RCFD_FAST_DECODER', '1')
-    out, _ = block(params, state, x, skip=skip, training=False)
+    ref, _ = _re(block, fast_decoder=False)(
+        params, state, x, skip=skip, training=False)
+    out, _ = _re(block, fast_decoder=True)(
+        params, state, x, skip=skip, training=False)
     ref = np.asarray(ref, np.float32)
     out = np.asarray(out, np.float32)
     denom = np.maximum(np.abs(ref), 1e-2)
@@ -276,11 +282,10 @@ def test_int8_tail_approximates_f32(rng, monkeypatch):
     params, state = dec.init(jax.random.PRNGKey(7))
     latent, skips = _inputs(rng)
 
-    monkeypatch.setenv('RCFD_PACKED_TAIL', '1')
-    monkeypatch.delenv('RCFD_INT8_TAIL', raising=False)
-    ref, _ = dec(params, state, latent, skips, training=False)
-    monkeypatch.setenv('RCFD_INT8_TAIL', '1')
-    out, _ = dec(params, state, latent, skips, training=False)
+    ref, _ = _re(dec, packed_tail=True, int8_tail=False)(
+        params, state, latent, skips, training=False)
+    out, _ = _re(dec, packed_tail=True, int8_tail=True)(
+        params, state, latent, skips, training=False)
 
     ref_l = np.asarray(ref[-1])
     out_l = np.asarray(out[-1])
