@@ -340,13 +340,16 @@ class RadarNetV1Encoder(Module):
         # fusing the window gather into the consumer add.
         fuse_pool2 = self.perf.fused_pool2 \
             and not training and skip_sizes[0][1] <= 256
+        fuse_pool4 = self.perf.fused_pool4 \
+            and not training and skip_sizes[1][1] <= 256
 
         skips_pooled = []
         for idx, skip in enumerate(skips_image):
+            lazy = (fuse_pool2 and idx == 0) or (fuse_pool4 and idx == 1)
             skips_pooled.append(roi_pool_column(
                 skip, x1, box_width=patch_w, box_y1=0, box_y2=box_height,
                 spatial_scale=skip_scales[idx], output_size=skip_sizes[idx],
-                return_global=(fuse_pool2 and idx == 0), **pool_kwargs))
+                return_global=lazy, **pool_kwargs))
 
         latent_depth, new_state_depth = self.children['encoder_depth'](
             params['encoder_depth'], state['encoder_depth'], points,

@@ -25,7 +25,11 @@ Field notes (measurement provenance in docs/PERF.md):
                     than XLA's own fusion on v5e — opt-in).
   fused_pool2       Defer the 1/2-scale ROI pool to LazyColumnWindows and
                     gather-add inside deconv1 (op-level 2x win, neutral-
-                    to-slower in the full graph — opt-in).
+                    to-slower in the full graph with the slice gather —
+                    opt-in; round 4 adds the take gather).
+  fused_pool4       Same deferral for the 1/4-scale pool -> deconv2's
+                    skip (round 4; the consumption site is the split
+                    post-conv, which already handles LazyColumnWindows).
   fused_pool2_pallas  Use the Pallas gather-add kernel for fused_pool2
                     (XLA formulation measured faster in-context).
   int8_tail         int8 packed decoder tail (~5% rel err, breaks 14-bit
@@ -62,6 +66,7 @@ class PerfConfig:
     fast_max_width: Optional[int] = None
     fused_upsample: bool = False
     fused_pool2: bool = False
+    fused_pool4: bool = False
     fused_pool2_pallas: bool = False
     fused_pool2_gather: str = 'take'
     int8_tail: bool = False
@@ -117,6 +122,7 @@ class PerfConfig:
                             else None),
             fused_upsample=flag('RCFD_FUSED_UPSAMPLE') or False,
             fused_pool2=flag('RCFD_FUSED_POOL2') or False,
+            fused_pool4=flag('RCFD_FUSED_POOL4') or False,
             fused_pool2_pallas=flag('RCFD_FUSED_POOL2_PALLAS') or False,
             fused_pool2_gather=os.environ.get('RCFD_FUSED_POOL2_GATHER',
                                               'take'),

@@ -164,3 +164,48 @@ def test_fused_xla_take_gather_matches_slice(rng):
     out_slice = _fused_xla(a, cg, lazy, cl, cr, gather='slice')
     np.testing.assert_array_equal(np.asarray(out_take),
                                   np.asarray(out_slice))
+
+
+def test_lazy_pool4_end_to_end_matches_eager(rng):
+    """fused_pool4 (round 4): defer the 1/4-scale pool to deconv2's
+    split-conv gather-add — full-model output must match the eager pool
+    within float tolerance, for both window-gather forms."""
+    from rcfd_tpu.models import RadarNetModel
+    from rcfd_tpu.nn.perf import with_perf
+
+    kwargs = dict(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=(64, 32),
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=[8, 12, 16, 16, 16],
+        n_neurons_encoder_depth=[8, 12, 16, 16, 16],
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=[16, 12, 8, 8, 8])
+    model = RadarNetModel(**kwargs)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    image = jnp.asarray(
+        rng.standard_normal((1, 64, 96, 3), dtype=np.float32))
+    points = jnp.asarray(np.stack([
+        rng.uniform(0, 96, 4), rng.uniform(0, 64, 4),
+        rng.uniform(1, 60, 4)], axis=1).astype(np.float32))
+    x1 = jnp.asarray(points[None, :, 0])
+
+    ref, _ = model.apply(params, state, image, points, x1, box_height=64,
+                         training=False)
+    for gather in ('take', 'slice'):
+        fused = with_perf(model, model.perf.replace(
+            fused_pool2=True, fused_pool4=True, fused_pool2_pallas=False,
+            fast_decoder=True, fused_pool2_gather=gather))
+        out, _ = fused.apply(params, state, image, points, x1,
+                             box_height=64, training=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f'gather={gather}')
+    # fast decoder OFF: the lazy skips must materialize to the exact pool
+    fused_nofast = with_perf(model, model.perf.replace(
+        fused_pool2=True, fused_pool4=True, fast_decoder=False))
+    out, _ = fused_nofast.apply(params, state, image, points, x1,
+                                box_height=64, training=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
