@@ -20,7 +20,7 @@ RCFD_PACKED_DECONV1=1 RCFD_BENCH_MODE=scan RCFD_BENCH_BATCHES=32 \
 RCFD_BENCH_MODE=scan RCFD_BENCH_BATCHES=64,48 timeout 1800 \
   python bench.py --mode scan > /tmp/r4_chip/bench_b64.log 2>&1
 
-# D. pipeline bisect baseline + fused_pool2 with the take gather
+# D. pipeline bisect baseline + fused_pool2/pool4 with the take gather
 timeout 1800 python tools/pipebisect.py --cuts rn full \
   > /tmp/r4_chip/pipebisect_base.log 2>&1
 RCFD_FUSED_POOL2=1 timeout 1800 python tools/pipebisect.py --cuts rn full \
@@ -28,6 +28,9 @@ RCFD_FUSED_POOL2=1 timeout 1800 python tools/pipebisect.py --cuts rn full \
 RCFD_FUSED_POOL2=1 RCFD_FUSED_POOL2_GATHER=slice timeout 1800 \
   python tools/pipebisect.py --cuts rn \
   > /tmp/r4_chip/pipebisect_fusedpool2_slice.log 2>&1
+RCFD_FUSED_POOL2=1 RCFD_FUSED_POOL4=1 timeout 1800 \
+  python tools/pipebisect.py --cuts rn full \
+  > /tmp/r4_chip/pipebisect_fusedpool24_take.log 2>&1
 
 # E. loader-fed training throughput, real chip (canonical config crop)
 timeout 1800 python tools/trainbench.py --n_devices 1 --model canonical \
