@@ -69,7 +69,8 @@ def main():
     parser.add_argument('--n_steps', type=int, default=20)
     parser.add_argument('--n_warmup', type=int, default=3)
     parser.add_argument('--n_thread', type=int, default=4)
-    parser.add_argument('--train_dtype', default=None,
+    parser.add_argument('--train_dtype',
+                        default=os.environ.get('RCFD_TRAIN_DTYPE'),
                         choices=[None, 'bfloat16'], nargs='?')
     parser.add_argument('--data_dir', type=str, default=None,
                         help='reuse an existing fixture dir')
@@ -80,6 +81,11 @@ def main():
     args = parser.parse_args()
     if args.raw_cache:
         os.environ['RCFD_RAW_CACHE'] = args.raw_cache
+    if args.train_dtype:
+        # _make_train_step reads RCFD_TRAIN_DTYPE at build time — route the
+        # flag through the same gate so the harness uses the driver's exact
+        # mixed-precision scheme (f32 master weights, bf16 network inputs)
+        os.environ['RCFD_TRAIN_DTYPE'] = args.train_dtype
 
     import jax
     import jax.numpy as jnp
@@ -143,11 +149,9 @@ def main():
         min_predict_depth=1.0, max_predict_depth=100.0, **cfg)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
     opt_state = init_adam(params)
-    if args.train_dtype == 'bfloat16':
-        from rcfd_tpu.nn.core import cast_tree
-        params = cast_tree(params, jnp.bfloat16)
-        state = cast_tree(state, jnp.bfloat16)
-        opt_state = cast_tree(opt_state, jnp.bfloat16)
+    # bf16 is applied INSIDE the step (network inputs only) via the
+    # RCFD_TRAIN_DTYPE gate set above — master weights/optimizer stay f32,
+    # exactly as the shipped drivers train.
 
     transforms = Transforms(
         normalized_image_range=[0, 1],
@@ -206,6 +210,25 @@ def main():
     sps = n_timed * batch_size / dt
     assert np.isfinite(loss), loss
 
+    # device-resident step-only time (same batch re-fed): isolates the
+    # compute from the loader + host->device transfer the loop above
+    # includes. On this container the H2D path crosses an HTTP relay, so
+    # end-to-end can be transfer-bound — the gap between step_ms and
+    # step_only_ms is the input-delivery cost, not chip time.
+    batch_dev = jax.device_put(batch, batch_sharding)
+    rng, key = jax.random.split(rng)
+    params, state, opt_state, info = step_jit(
+        params, state, opt_state, batch_dev, key, lr, aug_p)
+    jax.block_until_ready(info['loss'])
+    n_only = max(4, args.n_steps // 2)
+    t0 = time.perf_counter()
+    for _ in range(n_only):
+        rng, key = jax.random.split(rng)
+        params, state, opt_state, info = step_jit(
+            params, state, opt_state, batch_dev, key, lr, aug_p)
+    jax.block_until_ready(info['loss'])
+    step_only_ms = (time.perf_counter() - t0) / n_only * 1e3
+
     print(json.dumps({
         'harness': 'trainbench',
         'model': args.model,
@@ -215,6 +238,8 @@ def main():
         'shape': [args.height, args.width],
         'train_dtype': args.train_dtype or 'float32',
         'step_ms': round(step_ms, 3),
+        'step_only_ms': round(step_only_ms, 3),
+        'step_only_samples_per_s': round(batch_size / step_only_ms * 1e3, 3),
         'samples_per_s': round(sps, 3),
         'samples_per_s_per_chip': round(sps / n_devices, 3),
         'loader_only_samples_per_s': round(loader_sps, 3),
