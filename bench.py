@@ -229,14 +229,29 @@ def get_baseline_fps():
 
 
 def _emit(fps):
+    """Compute and write the single JSON result line.
+
+    The write is one unbuffered ``os.write`` to fd 1, so an ``os._exit``
+    immediately afterwards (signal handler, watchdog) cannot discard it
+    the way a buffered ``print`` could. ``_EMITTED`` is claimed only
+    AFTER the write lands: the residual race (a signal between syscall
+    and flag set) duplicates the identical line, which parses fine —
+    the claim-first ordering could instead lose the line entirely."""
+    if _EMITTED[0]:
+        return
     baseline = get_baseline_fps()
     vs_baseline = (fps / baseline) if baseline else 1.0
-    print(json.dumps({
+    line = json.dumps({
         'metric': 'fusionnet_inference_frames_per_sec_per_chip',
         'value': round(fps, 3),
         'unit': 'frames/s',
         'vs_baseline': round(vs_baseline, 3),
-    }))
+    }) + '\n'
+    if _EMITTED[0]:
+        return
+    sys.stdout.flush()
+    os.write(1, line.encode())
+    _EMITTED[0] = True
 
 
 _BEST_FPS = [None]      # best measured fps so far (auto mode)
@@ -252,24 +267,20 @@ def _emit_best_and_exit(signum=None, frame=None):
     child = _ACTIVE_CHILD[0]
     if child is not None and child.poll() is None:
         child.kill()
-    if not _EMITTED[0] and _BEST_FPS[0] is not None:
-        _EMITTED[0] = True
+    if _BEST_FPS[0] is not None:
         sys.stderr.write('[bench] emitting best-so-far before forced exit\n')
         sys.stderr.flush()
-        _emit(_BEST_FPS[0])
-        sys.stdout.flush()
+        _emit(_BEST_FPS[0])  # no-op if the main path already emitted
     os._exit(0 if _BEST_FPS[0] is not None else 1)
 
 
-def _run_child(mode, timeout, batches=None):
+def _run_child(mode, timeout):
     """Run one measurement in a subprocess (isolates OOM/compile stalls);
     child stderr streams through to ours so the caller's tail shows live
     progress. Returns fps or None."""
     import subprocess
     env = dict(os.environ)
     env['RCFD_BENCH_MODE'] = mode
-    if batches:
-        env['RCFD_BENCH_BATCHES'] = batches
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), '--mode', mode,
          '--no-emit'],
@@ -354,7 +365,6 @@ def main():
         # last resort: in-process dispatch without subprocess isolation
         fps, _ = bench_ours(mode='dispatch')
         _BEST_FPS[0] = fps
-    _EMITTED[0] = True
     _emit(_BEST_FPS[0])
 
 

@@ -38,6 +38,7 @@ import numpy as np
 _LOCK = threading.Lock()
 _DIR: Optional[str] = None
 _INIT = [False]
+_WRITE_FAIL_WARNED = [False]
 
 
 def set_raw_cache(dirpath: Optional[str]):
@@ -98,7 +99,17 @@ def load_raw(path: str, kind: str, decode):
         with open(tmp, 'wb') as f:
             np.save(f, raw)
         os.replace(tmp, cpath)
-    except Exception:
+    except Exception as e:
+        # A full/unwritable cache disk degrades every epoch back to full
+        # PNG decode — losing the 19x loader win. Keep serving (the raw
+        # array is valid) but say so loudly, once per process.
+        if not _WRITE_FAIL_WARNED[0]:
+            _WRITE_FAIL_WARNED[0] = True
+            import warnings
+            warnings.warn(
+                f'raw cache write to {d} failed ({type(e).__name__}: {e}); '
+                f'loader falls back to per-epoch PNG decode. Check disk '
+                f'space/permissions on RCFD_RAW_CACHE.', RuntimeWarning)
         try:
             os.remove(tmp)
         except OSError:

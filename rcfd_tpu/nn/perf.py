@@ -112,8 +112,10 @@ class PerfConfig:
 
         Explicit ``overrides`` win over the environment."""
         def flag(name):
+            # Same semantics as the round-3 inline gates: '0' disables,
+            # any other set value enables (scripts export 'true'/'on').
             v = os.environ.get(name)
-            return None if v is None else v == '1'
+            return None if v in (None, '') else v != '0'
 
         env = dict(
             fast_decoder=flag('RCFD_FAST_DECODER'),

@@ -22,7 +22,8 @@ import tempfile
 from rcfd_tpu import legacy_main
 
 
-def unpack_data_struct_manifest(pickle_path, materialize_dirpath=None):
+def unpack_data_struct_manifest(pickle_path, materialize_dirpath=None,
+                                materialize_prefix=''):
     """Single Data_Struct-dict pickle -> (gt_label_paths, radar_paths).
 
     Accepts dicts of records (setup/data_gen.py's output) or lists of
@@ -38,7 +39,10 @@ def unpack_data_struct_manifest(pickle_path, materialize_dirpath=None):
         label_path, depth_path
     val/test radar entries are in-memory arrays; they are saved to
     ``materialize_dirpath`` as .npy files so the path-based legacy
-    datasets can load them.
+    datasets can load them. Distinct manifests sharing one
+    ``materialize_dirpath`` must pass distinct ``materialize_prefix``
+    values — filenames are otherwise keyed only by record index and the
+    second call would overwrite the first call's arrays.
     """
     import numpy as np
     with open(pickle_path, 'rb') as f:
@@ -67,8 +71,9 @@ def unpack_data_struct_manifest(pickle_path, materialize_dirpath=None):
                 raise ValueError(
                     'manifest stores in-memory radar arrays but no '
                     'materialize_dirpath was given')
-            radar_path = os.path.join(materialize_dirpath,
-                                      f'radar_points_{i}.npy')
+            radar_path = os.path.join(
+                materialize_dirpath,
+                f'{materialize_prefix}radar_points_{i}.npy')
             np.save(radar_path, radar)
             radar = radar_path
         radar_paths.append(radar)
@@ -145,9 +150,11 @@ if __name__ == '__main__':
 
     with tempfile.TemporaryDirectory() as tmpdir:
         gt_train, radar_train = unpack_data_struct_manifest(
-            args.path_to_pickle_file_train, materialize_dirpath=tmpdir)
+            args.path_to_pickle_file_train, materialize_dirpath=tmpdir,
+            materialize_prefix='train_')
         gt_val, radar_val = unpack_data_struct_manifest(
-            args.path_to_pickle_file_val, materialize_dirpath=tmpdir)
+            args.path_to_pickle_file_val, materialize_dirpath=tmpdir,
+            materialize_prefix='val_')
         legacy_main.train(
             path_to_pickle_file_gt_train_paths=_as_path_pickle(
                 gt_train, tmpdir, 'gt_train.pkl'),

@@ -103,3 +103,23 @@ def test_with_perf_reperfs_copy_only(monkeypatch):
                           training=False)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                rtol=1e-6, atol=1e-6)
+
+@pytest.mark.smoke
+def test_from_env_flag_semantics_match_round3_gates(monkeypatch):
+    """'0' disables, any other set value enables — the round-3 inline
+    gates' semantics (scripts export 'true'/'on'); empty string = unset
+    (round-4 review finding: == '1' silently inverted these)."""
+    for name, attr in [('RCFD_PACKED_TAIL', 'packed_tail'),
+                       ('RCFD_FAST_DECODER', 'fast_decoder'),
+                       ('RCFD_FUSED_POOL2', 'fused_pool2')]:
+        monkeypatch.setenv(name, 'true')
+        assert getattr(PerfConfig.from_env(), attr) is True, name
+        monkeypatch.setenv(name, '0')
+        assert getattr(PerfConfig.from_env(), attr) is False, name
+        monkeypatch.setenv(name, '')
+        monkeypatch.delenv(name)
+    # empty string behaves as unset (defaults)
+    monkeypatch.setenv('RCFD_PACKED_TAIL', '')
+    assert PerfConfig.from_env().packed_tail is True
+    monkeypatch.setenv('RCFD_FAST_DECODER', '')
+    assert PerfConfig.from_env().fast_decoder is None

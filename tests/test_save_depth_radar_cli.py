@@ -101,3 +101,34 @@ def test_unpack_reference_field_order(tmp_path):
     gt, radar = unpack_data_struct_manifest(p)
     assert gt == ['label_0.png', 'label_1.png']
     assert radar == ['radar_0.npy', 'radar_1.npy']
+
+def test_unpack_two_manifests_share_dir_without_collision(tmp_path):
+    """__main__ materializes train AND val into ONE tmpdir; distinct
+    prefixes must keep the index-keyed .npy files from overwriting each
+    other (round-4 review finding)."""
+    def make(pickle_name, base):
+        pts = [np.full((2, 3), base + i, dtype=np.float32)
+               for i in range(2)]
+        manifest = {
+            (0, i): [(0, i, f'img_{i}.jpg', np.zeros((4, 2)), pts[i],
+                      f'label_{base}_{i}.png', f'depth_{i}.png')]
+            for i in range(2)
+        }
+        p = str(tmp_path / pickle_name)
+        with open(p, 'wb') as f:
+            pickle.dump(manifest, f)
+        return p, pts
+
+    train_p, train_pts = make('train.pkl', 100)
+    val_p, val_pts = make('val.pkl', 200)
+    out = tmp_path / 'mat'
+    out.mkdir()
+    _, radar_train = unpack_data_struct_manifest(
+        train_p, materialize_dirpath=str(out), materialize_prefix='train_')
+    _, radar_val = unpack_data_struct_manifest(
+        val_p, materialize_dirpath=str(out), materialize_prefix='val_')
+    assert set(radar_train).isdisjoint(radar_val)
+    for i, rp in enumerate(radar_train):
+        np.testing.assert_array_equal(np.load(rp), train_pts[i])
+    for i, rp in enumerate(radar_val):
+        np.testing.assert_array_equal(np.load(rp), val_pts[i])

@@ -185,8 +185,14 @@ def main():
     rng = jax.random.PRNGKey(1)
     lr = jnp.float32(1e-4)
     aug_p = jnp.float32(1.0)
+    if args.n_steps < 1:
+        raise SystemExit('--n_steps must be >= 1')
     n_done = 0
-    t_start = None
+    # with no warmup the timer starts before the first step (the in-loop
+    # n_done == n_warmup trigger can never fire at 0: n_done is already 1
+    # by the first check)
+    t_start = time.perf_counter() if args.n_warmup <= 0 else None
+    n_timed_start = 0
     epoch = 0
     last_info = None
     while n_done < args.n_steps + args.n_warmup:
