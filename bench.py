@@ -228,7 +228,7 @@ def get_baseline_fps():
         return None
 
 
-def _emit(fps):
+def _emit(fps, forced_exit=False):
     """Compute and write the single JSON result line.
 
     The write is one unbuffered ``os.write`` to fd 1, so an ``os._exit``
@@ -236,10 +236,19 @@ def _emit(fps):
     the way a buffered ``print`` could. ``_EMITTED`` is claimed only
     AFTER the write lands: the residual race (a signal between syscall
     and flag set) duplicates the identical line, which parses fine —
-    the claim-first ordering could instead lose the line entirely."""
+    the claim-first ordering could instead lose the line entirely.
+
+    ``forced_exit=True`` (signal handler / watchdog path): skip the
+    baseline computation when the cache file is absent (it runs a
+    multi-minute torch-CPU benchmark — inside a kill grace period that
+    would lose the line anyway) and never let a reentrant stdout.flush
+    RuntimeError skip the os.write."""
     if _EMITTED[0]:
         return
-    baseline = get_baseline_fps()
+    if forced_exit and not os.path.exists(BASELINE_CACHE):
+        baseline = None
+    else:
+        baseline = get_baseline_fps()
     vs_baseline = (fps / baseline) if baseline else 1.0
     line = json.dumps({
         'metric': 'fusionnet_inference_frames_per_sec_per_chip',
@@ -249,7 +258,13 @@ def _emit(fps):
     }) + '\n'
     if _EMITTED[0]:
         return
-    sys.stdout.flush()
+    try:
+        # flush any buffered prose ahead of the raw fd write; in a signal
+        # handler this can raise "reentrant call" if the main thread was
+        # mid-write — the os.write below is the part that must land
+        sys.stdout.flush()
+    except RuntimeError:
+        pass
     os.write(1, line.encode())
     _EMITTED[0] = True
 
@@ -270,7 +285,7 @@ def _emit_best_and_exit(signum=None, frame=None):
     if _BEST_FPS[0] is not None:
         sys.stderr.write('[bench] emitting best-so-far before forced exit\n')
         sys.stderr.flush()
-        _emit(_BEST_FPS[0])  # no-op if the main path already emitted
+        _emit(_BEST_FPS[0], forced_exit=True)  # no-op if already emitted
     os._exit(0 if _BEST_FPS[0] is not None else 1)
 
 

@@ -112,10 +112,20 @@ class PerfConfig:
 
         Explicit ``overrides`` win over the environment."""
         def flag(name):
-            # Same semantics as the round-3 inline gates: '0' disables,
-            # any other set value enables (scripts export 'true'/'on').
+            # Common falsy strings disable, truthy strings enable; an
+            # unrecognized value raises rather than silently enabling
+            # (RCFD_INT8_TAIL=off must never turn ON the int8 tail).
             v = os.environ.get(name)
-            return None if v in (None, '') else v != '0'
+            if v in (None, ''):
+                return None
+            low = v.strip().lower()
+            if low in ('0', 'false', 'off', 'no'):
+                return False
+            if low in ('1', 'true', 'on', 'yes'):
+                return True
+            raise ValueError(
+                f'{name}={v!r}: expected one of 0/false/off/no or '
+                f'1/true/on/yes')
 
         env = dict(
             fast_decoder=flag('RCFD_FAST_DECODER'),

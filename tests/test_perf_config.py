@@ -105,18 +105,26 @@ def test_with_perf_reperfs_copy_only(monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 @pytest.mark.smoke
-def test_from_env_flag_semantics_match_round3_gates(monkeypatch):
-    """'0' disables, any other set value enables — the round-3 inline
-    gates' semantics (scripts export 'true'/'on'); empty string = unset
-    (round-4 review finding: == '1' silently inverted these)."""
+def test_from_env_flag_semantics(monkeypatch):
+    """Truthy strings enable, common falsy strings DISABLE (round-4
+    advisor finding: `v != '0'` made 'off'/'false'/'no' silently turn
+    gates ON — for RCFD_INT8_TAIL that's an accuracy hazard), empty
+    string = unset, unrecognized values raise."""
     for name, attr in [('RCFD_PACKED_TAIL', 'packed_tail'),
                        ('RCFD_FAST_DECODER', 'fast_decoder'),
-                       ('RCFD_FUSED_POOL2', 'fused_pool2')]:
-        monkeypatch.setenv(name, 'true')
-        assert getattr(PerfConfig.from_env(), attr) is True, name
-        monkeypatch.setenv(name, '0')
-        assert getattr(PerfConfig.from_env(), attr) is False, name
-        monkeypatch.setenv(name, '')
+                       ('RCFD_FUSED_POOL2', 'fused_pool2'),
+                       ('RCFD_INT8_TAIL', 'int8_tail')]:
+        for truthy in ('1', 'true', 'on', 'yes', 'TRUE', 'On'):
+            monkeypatch.setenv(name, truthy)
+            assert getattr(PerfConfig.from_env(), attr) is True, (name,
+                                                                  truthy)
+        for falsy in ('0', 'false', 'off', 'no', 'FALSE', 'Off'):
+            monkeypatch.setenv(name, falsy)
+            assert getattr(PerfConfig.from_env(), attr) is False, (name,
+                                                                   falsy)
+        monkeypatch.setenv(name, 'bogus')
+        with pytest.raises(ValueError):
+            PerfConfig.from_env()
         monkeypatch.delenv(name)
     # empty string behaves as unset (defaults)
     monkeypatch.setenv('RCFD_PACKED_TAIL', '')

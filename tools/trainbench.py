@@ -187,6 +187,8 @@ def main():
     aug_p = jnp.float32(1.0)
     if args.n_steps < 1:
         raise SystemExit('--n_steps must be >= 1')
+    if args.n_warmup < 0:
+        raise SystemExit('--n_warmup must be >= 0')
     n_done = 0
     # with no warmup the timer starts before the first step (the in-loop
     # n_done == n_warmup trigger can never fire at 0: n_done is already 1
