@@ -51,10 +51,27 @@ CONFIG = dict(
 
 
 def _inputs(batch, rng):
-    image = rng.random((batch, HEIGHT, WIDTH, 3), dtype=np.float32)
-    depth = (rng.random((batch, HEIGHT, WIDTH, 1), dtype=np.float32) * 80)
-    response = rng.random((batch, HEIGHT, WIDTH, 1), dtype=np.float32)
+    """Integer-transport inputs (round 5): uint8 camera frames and uint16
+    x256-codec streams, exactly what the production loader ships
+    (rcfd_tpu/data/transport.py). Cuts the H2D payload 4x for images and
+    2x for the depth streams vs the old f32 arrays — the dispatch-mode
+    number previously moved ~550 MB/call at b=32 over this container's
+    relay (docs/PERF.md round-4)."""
+    image = rng.integers(0, 256, (batch, HEIGHT, WIDTH, 3), dtype=np.uint8)
+    depth = rng.integers(0, 80 * 256, (batch, HEIGHT, WIDTH, 1),
+                         dtype=np.uint16)
+    response = rng.integers(0, 256, (batch, HEIGHT, WIDTH, 1),
+                            dtype=np.uint16)
     return image, depth, response
+
+
+def _inputs_f32(batch, rng):
+    """The same values decoded host-side (torch-CPU reference baseline;
+    [0,1] image scale as the reference model expects)."""
+    image, depth, response = _inputs(batch, rng)
+    return (image.astype(np.float32) / 255.0,
+            depth.astype(np.float32) / 256.0,
+            response.astype(np.float32) / 256.0)
 
 
 def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
@@ -100,28 +117,35 @@ def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
     params_c = cast_tree(params, cdtype)
     state_c = cast_tree(state, cdtype)
 
+    # integer transport decodes INSIDE the jit (transfer ships the raw
+    # ints; uint8 -> [0,1] and uint16 -> meters on device)
+    def decode(image, depth, response):
+        image = image.astype(cdtype) * cdtype(1.0 / 255.0)
+        depth = depth.astype(cdtype) * cdtype(1.0 / 256.0)
+        response = response.astype(cdtype) * cdtype(1.0 / 256.0)
+        return image, depth, response
+
     def make_loop(n):
         @jax.jit
         def loop(p, s, image, depth, response):
+            image, depth, response = decode(image, depth, response)
             input_depth = jnp.concatenate([depth, response], axis=-1)
 
             def body(img, _):
-                out, _ = model.apply(p, s, img.astype(cdtype),
-                                     input_depth.astype(cdtype),
-                                     training=False)
+                out, _ = model.apply(p, s, img, input_depth, training=False)
                 img = img + out.astype(img.dtype) * 1e-12
                 return img, ()
 
             img, _ = lax.scan(body, image, None, length=n)
-            return img[0, 0, 0, 0]
+            return img[0, 0, 0, 0].astype(jnp.float32)
 
         return loop
 
     @jax.jit
     def forward(p, s, image, depth, response):
+        image, depth, response = decode(image, depth, response)
         input_depth = jnp.concatenate([depth, response], axis=-1)
-        out, _ = model.apply(p, s, image.astype(cdtype),
-                             input_depth.astype(cdtype), training=False)
+        out, _ = model.apply(p, s, image, input_depth, training=False)
         return out.astype(jnp.float32)
 
     rng = np.random.default_rng(0)
@@ -197,7 +221,7 @@ def bench_reference_cpu(n_iters=2):
     ref.eval()
 
     rng = np.random.default_rng(0)
-    image, depth, response = _inputs(1, rng)
+    image, depth, response = _inputs_f32(1, rng)
     t_image = torch.from_numpy(image.transpose(0, 3, 1, 2))
     t_depth = torch.from_numpy(
         np.concatenate([depth, response], axis=-1).transpose(0, 3, 1, 2))

@@ -15,6 +15,17 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from . import io as data_utils
+from .transport import enabled as _transport_enabled
+from .transport import encode_png_int as _encode_png_int
+
+
+def _reencode_depth_stream_u16(arr_f32):
+    """Recover the raw PNG integers from a float x256 decode (the native
+    batch decoder returns raw/256 in f32; *256 reconstructs the integers
+    exactly — both are power-of-two scalings of exactly-representable
+    ints)."""
+    raw = np.asarray(arr_f32, np.float32) * np.float32(256.0)
+    return _encode_png_int(raw.astype(np.int64))
 
 
 def random_crop(inputs, shape, crop_type=('none',), rng=None):
@@ -112,7 +123,8 @@ class RadarNetTrainingDataset:
                  ground_truth_paths: List[str],
                  patch_size: Tuple[int, int],
                  total_points_sampled: int,
-                 sample_probability_of_lidar: float):
+                 sample_probability_of_lidar: float,
+                 transport: Optional[bool] = None):
         self.n_sample = len(image_paths)
         assert self.n_sample == len(ground_truth_paths)
         assert self.n_sample == len(radar_paths)
@@ -123,15 +135,23 @@ class RadarNetTrainingDataset:
         self.pad_size_x = patch_size[1] // 2
         self.total_points_sampled = total_points_sampled
         self.sample_probability_of_lidar = sample_probability_of_lidar
+        # integer host->device transport (uint8 image, uint16 GT crops);
+        # decoded inside the jitted step — see data/transport.py
+        self.transport = _transport_enabled(transport)
 
     def __len__(self):
         return self.n_sample
 
     def get(self, index: int, rng: np.random.Generator):
-        image = data_utils.load_image(self.image_paths[index], normalize=False,
-                                      data_format='HWC')
-        ground_truth = data_utils.load_depth(self.ground_truth_paths[index],
-                                             data_format='HWC')
+        if self.transport:
+            image = data_utils.load_image_u8(self.image_paths[index])
+            ground_truth = data_utils.load_depth_u16(
+                self.ground_truth_paths[index], data_format='HWC')
+        else:
+            image = data_utils.load_image(
+                self.image_paths[index], normalize=False, data_format='HWC')
+            ground_truth = data_utils.load_depth(
+                self.ground_truth_paths[index], data_format='HWC')
         return self._assemble(index, rng, image, ground_truth)
 
     def get_batch(self, indices, rngs, n_threads: int = 8):
@@ -146,6 +166,9 @@ class RadarNetTrainingDataset:
                        for i, rng in zip(indices, rngs)]
         else:
             images, (gts,) = decoded
+            if self.transport:
+                images = images.astype(np.uint8)
+                gts = _reencode_depth_stream_u16(gts)
             samples = [self._assemble(int(i), rng, images[b], gts[b])
                        for b, (i, rng) in enumerate(zip(indices, rngs))]
         return tuple(np.stack([s[j] for s in samples], axis=0)
@@ -168,13 +191,18 @@ class RadarNetTrainingDataset:
 
         if rng.random() < self.sample_probability_of_lidar:
             gt2d = ground_truth[..., 0]
-            idx_y, idx_x = np.where(gt2d > 1)
+            # under integer transport gt2d holds raw x256 ints: meters > 1
+            # <=> raw > 256, and z_meters = raw/256 exactly
+            gt_is_raw = gt2d.dtype != np.float32
+            idx_y, idx_x = np.where(gt2d > (256 if gt_is_raw else 1))
             if len(idx_y) >= self.total_points_sampled:
                 sel = rng.choice(len(idx_y), size=self.total_points_sampled,
                                  replace=False)
                 points_x = idx_x[sel]
                 points_y = idx_y[sel]
                 points_z = gt2d[points_y, points_x]
+                if gt_is_raw:
+                    points_z = points_z.astype(np.float32) / np.float32(256.0)
                 noise_x = rng.normal(0, 25, self.total_points_sampled)
                 noise_z = rng.uniform(0.0, 0.4, self.total_points_sampled)
                 fake = np.copy(radar_points)
@@ -209,6 +237,11 @@ class RadarNetTrainingDataset:
 
         image = image[start_y:, ...]
 
+        if self.transport:
+            return (np.ascontiguousarray(image),
+                    radar_points.astype(np.float32),
+                    bboxes,
+                    np.ascontiguousarray(ground_truth_crops))
         return (image.astype(np.float32),
                 radar_points.astype(np.float32),
                 bboxes,
@@ -220,11 +253,13 @@ class RadarNetInferenceDataset:
     (reference src/datasets.py:274-343)."""
 
     def __init__(self, image_paths, radar_paths, ground_truth_paths=None,
-                 max_points: Optional[int] = 128):
+                 max_points: Optional[int] = 128,
+                 transport: Optional[bool] = None):
         self.n_sample = len(image_paths)
         assert self.n_sample == len(radar_paths)
         self.image_paths = image_paths
         self.radar_paths = radar_paths
+        self.transport = _transport_enabled(transport)
         if max_points is None:
             # auto-size the static point axis from the manifest so no
             # frame is ever truncated (npy headers only; padded up to a
@@ -243,16 +278,25 @@ class RadarNetInferenceDataset:
         return self.n_sample
 
     def get(self, index: int, rng=None):
-        image = data_utils.load_image(self.image_paths[index], normalize=False,
-                                      data_format='HWC')
+        if self.transport:
+            image = data_utils.load_image_u8(self.image_paths[index])
+        else:
+            image = data_utils.load_image(
+                self.image_paths[index], normalize=False,
+                data_format='HWC').astype(np.float32)
         radar_points = np.load(self.radar_paths[index]).astype(np.float32)
         if radar_points.ndim == 1:
             radar_points = np.expand_dims(radar_points, axis=0)
         points, valid = pad_points(radar_points, self.max_points)
-        out = [image.astype(np.float32), points, valid]
+        out = [image, points, valid]
         if self.ground_truth_available:
-            out.append(data_utils.load_depth(
-                self.ground_truth_paths[index], data_format='HWC').astype(np.float32))
+            if self.transport:
+                out.append(data_utils.load_depth_u16(
+                    self.ground_truth_paths[index], data_format='HWC'))
+            else:
+                out.append(data_utils.load_depth(
+                    self.ground_truth_paths[index],
+                    data_format='HWC').astype(np.float32))
         return tuple(out)
 
 
@@ -315,7 +359,8 @@ class FusionNetTrainingDataset:
                  ground_truth_paths,
                  lidar_map_paths,
                  shape: Optional[Tuple[int, int]] = None,
-                 random_crop_type: Sequence[str] = ('none',)):
+                 random_crop_type: Sequence[str] = ('none',),
+                 transport: Optional[bool] = None):
         self.n_sample = len(image_paths)
         for paths in [depth_paths, response_paths, ground_truth_paths, lidar_map_paths]:
             assert len(paths) == self.n_sample
@@ -328,6 +373,9 @@ class FusionNetTrainingDataset:
         self.do_random_crop = \
             self.shape is not None and all([x > 0 for x in self.shape])
         self.random_crop_type = tuple(random_crop_type)
+        # integer host->device transport (uint8 image, uint16 streams);
+        # decoded inside the jitted step — see data/transport.py
+        self.transport = _transport_enabled(transport)
 
     def __len__(self):
         return self.n_sample
@@ -336,6 +384,19 @@ class FusionNetTrainingDataset:
         from .raw_cache import cache_dir
         if cache_dir() is not None and self.do_random_crop:
             return self._get_raw_window(index, rng)
+        if self.transport:
+            image = data_utils.load_image_u8(self.image_paths[index])
+            # response too: the reference reads it via the x256 codec
+            # (src/datasets.py:412-415), so it's just another raw stream
+            streams = [data_utils.load_depth_u16(p[index], data_format='HWC')
+                       for p in (self.depth_paths, self.response_paths,
+                                 self.ground_truth_paths,
+                                 self.lidar_map_paths)]
+            sample = [image] + streams
+            if self.do_random_crop:
+                sample = random_crop(inputs=sample, shape=self.shape,
+                                     crop_type=self.random_crop_type, rng=rng)
+            return tuple(np.ascontiguousarray(t) for t in sample)
         image = data_utils.load_image(self.image_paths[index], normalize=False,
                                       data_format='HWC')
         # NOTE: the reference loads the response stream with load_depth
@@ -360,7 +421,8 @@ class FusionNetTrainingDataset:
         only the window (the full-frame u16->f32 rescale dominates warm
         loads otherwise). Values identical to get(): crop and the
         elementwise conversions commute, and the crop coordinates use the
-        same rng stream (random_crop reads only shapes + rng)."""
+        same rng stream (random_crop reads only shapes + rng). Under
+        integer transport even the window conversion moves on-device."""
         image_raw = data_utils.load_image_raw(self.image_paths[index])
         stream_raws = [
             data_utils.load_depth_raw(p[index])[..., None]
@@ -369,6 +431,10 @@ class FusionNetTrainingDataset:
         cropped = random_crop(
             inputs=[image_raw] + stream_raws, shape=self.shape,
             crop_type=self.random_crop_type, rng=rng)
+        if self.transport:
+            return (np.ascontiguousarray(cropped[0]),
+                    *[_encode_png_int(c[..., 0])[..., None]
+                      for c in cropped[1:]])
         image = np.asarray(cropped[0], np.float32)
         streams = [data_utils.depth_from_raw(c[..., 0], data_format='HWC')
                    for c in cropped[1:]]
@@ -395,6 +461,11 @@ class FusionNetTrainingDataset:
                          for j in range(len(samples[0])))
 
         images, (depths, responses, gts, lidars) = decoded
+        if self.transport:
+            images = images.astype(np.uint8)
+            depths, responses, gts, lidars = (
+                _reencode_depth_stream_u16(s)
+                for s in (depths, responses, gts, lidars))
         out = [[], [], [], [], []]
         for b, rng in enumerate(rngs):
             sample = [images[b], depths[b], responses[b], gts[b], lidars[b]]
@@ -402,7 +473,7 @@ class FusionNetTrainingDataset:
                 sample = random_crop(inputs=sample, shape=self.shape,
                                      crop_type=self.random_crop_type, rng=rng)
             for j, t in enumerate(sample):
-                out[j].append(t.astype(np.float32))
+                out[j].append(t if self.transport else t.astype(np.float32))
         return tuple(np.stack(ts, axis=0) for ts in out)
 
 
@@ -411,7 +482,7 @@ class FusionNetInferenceDataset:
     (reference src/datasets.py:446-527)."""
 
     def __init__(self, image_paths, depth_paths, response_paths,
-                 ground_truth_paths=None):
+                 ground_truth_paths=None, transport: Optional[bool] = None):
         self.n_sample = len(image_paths)
         self.image_paths = image_paths
         self.depth_paths = depth_paths
@@ -422,11 +493,22 @@ class FusionNetInferenceDataset:
         else:
             self.ground_truth_available = False
         self.ground_truth_paths = ground_truth_paths
+        self.transport = _transport_enabled(transport)
 
     def __len__(self):
         return self.n_sample
 
     def get(self, index: int, rng=None):
+        if self.transport:
+            out = [data_utils.load_image_u8(self.image_paths[index]),
+                   data_utils.load_depth_u16(self.depth_paths[index],
+                                             data_format='HWC'),
+                   data_utils.load_depth_u16(self.response_paths[index],
+                                             data_format='HWC')]
+            if self.ground_truth_available:
+                out.append(data_utils.load_depth_u16(
+                    self.ground_truth_paths[index], data_format='HWC'))
+            return tuple(out)
         image = data_utils.load_image(self.image_paths[index], normalize=False,
                                       data_format='HWC')
         depth = data_utils.load_depth(self.depth_paths[index], data_format='HWC')

@@ -68,6 +68,33 @@ def load_image_raw(path: str):
     return decode()
 
 
+def load_image_u8(path: str, data_format: str = 'HWC'):
+    """uint8 RGB image for integer host->device transport (see
+    transport.py). Values identical to load_image(normalize=False)
+    modulo the dtype: PNG/JPEG decodes are integral."""
+    image = load_image_raw(path) if _raw_cache_on() else \
+        np.asarray(Image.open(path).convert('RGB'), np.uint8)
+    if data_format == 'HWC':
+        return image
+    elif data_format == 'CHW':
+        return np.transpose(image, (2, 0, 1))
+    raise ValueError('Unsupported data format: {}'.format(data_format))
+
+
+def load_depth_u16(path: str, data_format: str = 'HW'):
+    """Raw 16-bit-PNG integers (x256 codec implied) for integer transport.
+    decode -> float32/256 equals load_depth exactly (negatives, which
+    load_depth clamps to 0 after division, are clamped to 0 here)."""
+    from .transport import encode_png_int
+    raw = encode_png_int(load_depth_raw(path))
+    return _expand(raw, data_format)
+
+
+def _raw_cache_on():
+    from .raw_cache import cache_dir
+    return cache_dir() is not None
+
+
 def load_image(path: str, normalize: bool = False, data_format: str = 'HWC'):
     """Load an RGB image as float32 (src/data_utils.py:167-198)."""
     from .raw_cache import cache_dir

@@ -50,6 +50,67 @@ def device_prefetch(iterator, sharding=None, buffer_size: int = 2):
         yield queue.popleft()
 
 
+def iter_device_batches(dataset, batch_size: int, fields=None,
+                        prefetch: int = 2):
+    """Bulk-inference feeder: yield (idxs, host_samples, device_arrays)
+    with the host fetch + H2D transfer overlapped against the consumer's
+    device compute (the train loops already double-buffer via
+    device_prefetch; this brings the same overlap to the validate / run /
+    stage-1.5-bridge iterators, which previously did synchronous
+    dataset.get + jnp.asarray per batch).
+
+    - The tail batch is padded by repeating its last sample so one
+      compiled shape serves the whole manifest (padded outputs must be
+      dropped by the consumer — len(idxs) gives the real count).
+    - `fields`: which sample-tuple positions to stack + transfer
+      (default: the first len(sample) positions). Remaining positions
+      stay host-only (e.g. ground truth used for metrics).
+    - Samples are yielded exactly as the dataset produced them
+      (integer transport included — decode host copies via
+      transport.decode_np where numpy math needs floats)."""
+    import jax
+
+    n_sample = len(dataset)
+    bsz = max(1, min(batch_size, n_sample))
+
+    def produce(out_q, stop):
+        try:
+            for start in range(0, n_sample, bsz):
+                if stop.is_set():
+                    return
+                idxs = list(range(start, min(start + bsz, n_sample)))
+                samples = [dataset.get(i) for i in idxs]
+                padded = samples + [samples[-1]] * (bsz - len(samples))
+                use = fields if fields is not None else range(len(padded[0]))
+                device = tuple(
+                    jax.device_put(np.stack([s[j] for s in padded]))
+                    for j in use)
+                out_q.put((idxs, samples, device))
+            out_q.put(None)
+        except BaseException as e:  # surface fetch errors to the consumer
+            out_q.put(e)
+
+    out_q: 'queue.Queue' = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+    thread = threading.Thread(target=produce, args=(out_q, stop), daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = out_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while thread.is_alive():
+            try:
+                out_q.get_nowait()
+            except queue.Empty:
+                break
+
+
 class DataLoader:
     def __init__(self,
                  dataset,

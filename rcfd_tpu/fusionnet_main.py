@@ -17,8 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data import io as data_utils
+from .data import transport
 from .data.datasets import FusionNetInferenceDataset, FusionNetTrainingDataset
-from .data.loader import DataLoader
+from .data.loader import DataLoader, iter_device_batches
 from .data.transforms import Transforms
 from .models.fusionnet import FusionNetModel
 from .nn import functional as NF
@@ -71,7 +72,9 @@ def _make_train_step(model: FusionNetModel,
         if os.environ.get('RCFD_TRAIN_DTYPE') == 'bfloat16' else None
 
     def step(params, state, opt_state, batch, key, lr, aug_prob):
-        image, depth, response, ground_truth, lidar_map = batch
+        # integer transport (uint8 image, uint16 streams) decodes to the
+        # exact float32 values the host loader used to ship (transport.py)
+        image, depth, response, ground_truth, lidar_map = transport.decode(batch)
 
         (image_t,), (depth, response, ground_truth, lidar_map) = \
             transforms.transform(
@@ -132,6 +135,7 @@ def make_forward_fn(model: FusionNetModel, transforms: Transforms):
 
     @jax.jit
     def forward(params, state, image, depth, response):
+        image, depth, response = transport.decode((image, depth, response))
         (image_t,) = transforms.transform(
             jax.random.PRNGKey(0), [image], random_transform_probability=0.0)
         input_depth = jnp.concatenate([depth, response], axis=-1)
@@ -461,8 +465,8 @@ def _log_image_summary(writer, tag, step, forward_fn, params, state, batch,
         return
     try:
         from .utils.log_utils import colorize
-        image, depth, response, ground_truth, _ = [
-            np.asarray(t[:n_display]) for t in batch]
+        image, depth, response, ground_truth, _ = transport.decode_np(
+            [np.asarray(t[:n_display]) for t in batch])
         output = np.asarray(forward_fn(
             params, state, jnp.asarray(image), jnp.asarray(depth),
             jnp.asarray(response)))
@@ -515,21 +519,18 @@ def iter_forward_outputs(forward_fn, params, state, dataset,
     dataset, yielding per-frame (idx, sample_tuple, output_depth (H, W))
     in order. The tail batch is padded by repeating its last sample so
     one compiled shape serves the whole manifest; padded outputs are
-    dropped. Per-frame results identical to batch 1."""
-    n_sample = len(dataset)
-    bsz = max(1, min(eval_batch_size, n_sample))
-    for start in range(0, n_sample, bsz):
-        idxs = list(range(start, min(start + bsz, n_sample)))
-        samples = [dataset.get(i) for i in idxs]
-        n_real = len(samples)
-        padded = samples + [samples[-1]] * (bsz - n_real)
-        images = jnp.asarray(np.stack([s[0] for s in padded]))
-        depths = jnp.asarray(np.stack([s[1] for s in padded]))
-        responses = jnp.asarray(np.stack([s[2] for s in padded]))
+    dropped. Per-frame results identical to batch 1.
+
+    Host decode + H2D transfer for batch i+1 overlap the device compute
+    of batch i (iter_device_batches double buffer); the device receives
+    integer-transport arrays, the yielded host samples are decoded to the
+    float32 values downstream numpy consumers expect."""
+    for idxs, samples, (images, depths, responses) in iter_device_batches(
+            dataset, eval_batch_size, fields=(0, 1, 2)):
         outputs = np.asarray(
             forward_fn(params, state, images, depths, responses))
         for j, idx in enumerate(idxs):
-            yield idx, samples[j], outputs[j, :, :, 0]
+            yield idx, transport.decode_np(samples[j]), outputs[j, :, :, 0]
 
 
 def validate(model, params, state, forward_fn, dataset, step, best_results,
@@ -700,66 +701,47 @@ def run(restore_path,
         imae = np.zeros(n_sample)
         irmse = np.zeros(n_sample)
 
-    for start in range(0, n_sample, eval_batch_size):
-        idxs = list(range(start, min(start + eval_batch_size, n_sample)))
-        samples = [dataset.get(i) for i in idxs]
-        images = np.stack([s[0] for s in samples])
-        depths = np.stack([s[1] for s in samples])
-        responses = np.stack([s[2] for s in samples])
-        # pad the tail batch to the compiled batch size
-        n_real = len(idxs)
-        if n_real < eval_batch_size:
-            padn = eval_batch_size - n_real
-            images = np.concatenate([images, np.repeat(images[-1:], padn, 0)])
-            depths = np.concatenate([depths, np.repeat(depths[-1:], padn, 0)])
-            responses = np.concatenate(
-                [responses, np.repeat(responses[-1:], padn, 0)])
+    for idx, sample, output_depth_fusion in iter_forward_outputs(
+            forward_fn, params, state, dataset, eval_batch_size):
+        image, depth, response = sample[:3]
+        if ground_truth_available:
+            ground_truth = sample[3]
 
-        outputs = np.asarray(forward_fn(
-            params, state, jnp.asarray(images), jnp.asarray(depths),
-            jnp.asarray(responses)))[:n_real, :, :, 0]
+        if verbose:
+            print('Processed {}/{} samples'.format(idx + 1, n_sample),
+                  end='\r')
 
-        for j, idx in enumerate(idxs):
-            output_depth_fusion = outputs[j]
-            image, depth, response = samples[j][:3]
+        if ground_truth_available:
+            gt = ground_truth[..., 0]
+            m = eval_utils.compute_all(
+                output_depth_fusion, gt, min_evaluate_depth,
+                max_evaluate_depth)
+            mae[idx], rmse[idx] = m['mae'], m['rmse']
+            imae[idx], irmse[idx] = m['imae'], m['irmse']
+
+        if save_outputs:
+            if keep_input_filenames:
+                filename = os.path.splitext(
+                    os.path.basename(image_paths[idx]))[0] + '.png'
+            else:
+                filename = '{:010d}.png'.format(idx)
+            data_utils.save_image(
+                image / 255.0,
+                os.path.join(output_dirs['image'], filename))
+            data_utils.save_depth(
+                output_depth_fusion,
+                os.path.join(output_dirs['output_depth_fusion'], filename))
+            data_utils.save_depth(
+                depth[..., 0],
+                os.path.join(output_dirs['output_depth_radar'], filename))
+            data_utils.save_response(
+                response[..., 0],
+                os.path.join(output_dirs['output_response_radar'],
+                             filename))
             if ground_truth_available:
-                ground_truth = samples[j][3]
-
-            if verbose:
-                print('Processed {}/{} samples'.format(idx + 1, n_sample),
-                      end='\r')
-
-            if ground_truth_available:
-                gt = ground_truth[..., 0]
-                m = eval_utils.compute_all(
-                    output_depth_fusion, gt, min_evaluate_depth,
-                    max_evaluate_depth)
-                mae[idx], rmse[idx] = m['mae'], m['rmse']
-                imae[idx], irmse[idx] = m['imae'], m['irmse']
-
-            if save_outputs:
-                if keep_input_filenames:
-                    filename = os.path.splitext(
-                        os.path.basename(image_paths[idx]))[0] + '.png'
-                else:
-                    filename = '{:010d}.png'.format(idx)
-                data_utils.save_image(
-                    image / 255.0,
-                    os.path.join(output_dirs['image'], filename))
                 data_utils.save_depth(
-                    output_depth_fusion,
-                    os.path.join(output_dirs['output_depth_fusion'], filename))
-                data_utils.save_depth(
-                    depth[..., 0],
-                    os.path.join(output_dirs['output_depth_radar'], filename))
-                data_utils.save_response(
-                    response[..., 0],
-                    os.path.join(output_dirs['output_response_radar'],
-                                 filename))
-                if ground_truth_available:
-                    data_utils.save_depth(
-                        gt, os.path.join(output_dirs['ground_truth'],
-                                         filename))
+                    gt, os.path.join(output_dirs['ground_truth'],
+                                     filename))
 
     if ground_truth_available:
         log_evaluation_results(

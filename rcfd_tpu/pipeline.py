@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .data import transport
 from .data.transforms import Transforms
 from .models.fusionnet import FusionNetModel
 from .models.radarnet import RadarNetModel
@@ -102,7 +103,9 @@ class TwoStagePipeline:
 
         def forward(rn_params, rn_state, fn_params, fn_state, image, points,
                     valid):
-            # image: (1, H, W, 3) in [0, 255]; points: (K, 3); valid: (K,)
+            # image: (1, H, W, 3) in [0, 255] (uint8 under integer
+            # transport; the decode is an exact cast — data/transport.py)
+            image = transport.decode(image)
             (image_t,) = self.transforms.transform(
                 jax.random.PRNGKey(0), [image],
                 random_transform_probability=0.0)
@@ -184,7 +187,9 @@ class TwoStagePipeline:
 
         def forward(rn_params, rn_state, fn_params, fn_state, images, points,
                     valid):
-            # images: (B, H, W, 3); points: (B, K, 3); valid: (B, K)
+            # images: (B, H, W, 3), uint8 under integer transport;
+            # points: (B, K, 3); valid: (B, K)
+            images = transport.decode(images)
             b, k = points.shape[0], points.shape[1]
             (images_t,) = self.transforms.transform(
                 jax.random.PRNGKey(0), [images],

@@ -18,8 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data import io as data_utils
+from .data import transport
 from .data.datasets import (RadarNetInferenceDataset, RadarNetTrainingDataset)
-from .data.loader import DataLoader
+from .data.loader import DataLoader, iter_device_batches
 from .data.transforms import Transforms
 from .models.radarnet import RadarNetModel
 from .ops.scatter import scatter_quasi_dense
@@ -63,7 +64,10 @@ def _make_train_step(model: RadarNetModel,
         if os.environ.get('RCFD_TRAIN_DTYPE') == 'bfloat16' else None
 
     def step(params, state, opt_state, batch, key, lr, aug_prob):
-        image, radar_points, bounding_boxes, ground_truth = batch
+        # integer transport (uint8 image, uint16 GT crops) decodes to the
+        # exact float32 values the host loader used to ship (transport.py)
+        image, radar_points, bounding_boxes, ground_truth = \
+            transport.decode(batch)
         # image: (B, ph, W_pad, 3); radar_points: (B, K, 3)
         # bounding_boxes: (B, K, 4); ground_truth: (B, K, ph, pw, 1)
 
@@ -143,7 +147,8 @@ def _make_summary_forward(model: RadarNetModel, transforms: Transforms,
 
     @jax.jit
     def summary_tensors(params, state, batch, key):
-        image, radar_points, bounding_boxes, ground_truth = batch
+        image, radar_points, bounding_boxes, ground_truth = \
+            transport.decode(batch)
         (image_t,) = transforms.transform(
             key, [image], random_transform_probability=0.0)
         b, k = radar_points.shape[0], radar_points.shape[1]
@@ -248,7 +253,9 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
 
     @jax.jit
     def forward(params, state, image, points, valid):
-        # image: (1, H, W, 3) unnormalized; points: (K, 3); valid: (K,)
+        # image: (1, H, W, 3) unnormalized (uint8 under integer
+        # transport); points: (K, 3); valid: (K,)
+        image = transport.decode(image)
         (image_t,) = transforms.transform(
             jax.random.PRNGKey(0), [image], random_transform_probability=0.0)
         image_pad = jnp.pad(image_t, ((0, 0), (0, 0), (pad, pad), (0, 0)),
@@ -310,7 +317,9 @@ def make_forward_fn_batched(model: RadarNetModel, transforms: Transforms,
 
     @jax.jit
     def forward(params, state, images, points, valid):
-        # images: (B, H, W, 3) unnormalized; points: (B, K, 3); valid: (B, K)
+        # images: (B, H, W, 3) unnormalized (uint8 under integer
+        # transport); points: (B, K, 3); valid: (B, K)
+        images = transport.decode(images)
         b, k = points.shape[0], points.shape[1]
         (images_t,) = transforms.transform(
             jax.random.PRNGKey(0), [images], random_transform_probability=0.0)
@@ -374,23 +383,22 @@ def iter_scatter_outputs(forward_fn_b, params, state, dataset,
     yielding per-frame (idx, sample_tuple, depth_np, response_np) in
     order. The tail batch is padded by repeating its last sample so one
     compiled shape serves the whole manifest; padded outputs are
-    dropped. Per-frame results are identical to the batch-1 path."""
-    n_sample = len(dataset)
-    bsz = max(1, min(eval_batch_size, n_sample))
-    for start in range(0, n_sample, bsz):
-        idxs = list(range(start, min(start + bsz, n_sample)))
-        samples = [dataset.get(i) for i in idxs]
-        n_real = len(samples)
-        padded = samples + [samples[-1]] * (bsz - n_real)
-        images = jnp.asarray(np.stack([s[0] for s in padded]))
-        points = jnp.asarray(np.stack([s[1] for s in padded]))
-        valid = jnp.asarray(np.stack([s[2] for s in padded]))
+    dropped. Per-frame results are identical to the batch-1 path.
+
+    Host decode + H2D transfer for batch i+1 overlap the device compute
+    of batch i (iter_device_batches double buffer — the stage-1.5 bridge
+    runs this over ~34k frames); the device receives integer-transport
+    arrays, the yielded host samples are decoded to the float32 values
+    downstream numpy consumers expect."""
+    for idxs, samples, (images, points, valid) in iter_device_batches(
+            dataset, eval_batch_size, fields=(0, 1, 2)):
         depth_b, response_b = forward_fn_b(params, state, images, points,
                                            valid)
         depth_b = np.asarray(depth_b)
         response_b = np.asarray(response_b)
         for j, idx in enumerate(idxs):
-            yield idx, samples[j], depth_b[j], response_b[j]
+            yield idx, transport.decode_np(samples[j]), depth_b[j], \
+                response_b[j]
 
 
 def train(train_image_path,

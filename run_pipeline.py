@@ -160,7 +160,8 @@ def main():
                 print('Processed {}/{} samples'.format(idx + 1, n_sample),
                       end='\r')
             if gt_available:
-                gt = samples[b][3][..., 0]
+                from rcfd_tpu.data.transport import decode_np
+                gt = decode_np(samples[b][3])[..., 0]
                 m = eval_utils.compute_all(dense, gt,
                                            args.min_evaluate_depth,
                                            args.max_evaluate_depth)

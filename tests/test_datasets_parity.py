@@ -13,6 +13,7 @@ import pytest
 from fixtures import make_fusionnet_fixture, make_radarnet_fixture
 
 from rcfd_tpu.data import io as data_utils
+from rcfd_tpu.data import transport
 from rcfd_tpu.data.datasets import (FusionNetInferenceDataset,
                                     RadarNetInferenceDataset,
                                     RadarNetTrainingDataset)
@@ -37,7 +38,8 @@ def test_fusionnet_inference_dataset_parity(tmp_path):
 
     for idx in range(3):
         ref_items = ref_ds[idx]
-        our_items = ours.get(idx)
+        # default integer transport: decode_np recovers the exact floats
+        our_items = transport.decode_np(ours.get(idx))
         assert len(ref_items) == len(our_items) == 4
         for r, o in zip(ref_items, our_items):
             # reference is CHW; ours is HWC
@@ -60,7 +62,7 @@ def test_radarnet_inference_dataset_parity(tmp_path):
 
     for idx in range(2):
         ref_image, ref_points, ref_gt = ref_ds[idx]
-        image, points, valid, gt = ours.get(idx)
+        image, points, valid, gt = transport.decode_np(ours.get(idx))
         np.testing.assert_array_equal(np.transpose(image, (2, 0, 1)),
                                       ref_image)
         np.testing.assert_array_equal(np.transpose(gt, (2, 0, 1)), ref_gt)

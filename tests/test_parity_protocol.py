@@ -72,6 +72,32 @@ def test_parity_protocol_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_parity_protocol_two_stage_synthetic(tmp_path):
+    """The two-stage chain mode (VERDICT r4 #3): reference RadarNet ->
+    real PNG bridge -> reference FusionNet, vs our CLI chain, vs the
+    fused TwoStagePipeline — all three through the tool's own synthetic
+    entry point, PASS required on stage 2 and the fused column."""
+    import parity_protocol
+
+    ref, ours, overall = parity_protocol.main([
+        '--synthetic', '--two_stage',
+        '--output_dirpath', str(tmp_path / 'out'),
+        '--eval_batch_size', '2',
+    ])
+    assert ours is not None
+    for section in ('stage2', 'fused'):
+        assert np.isfinite(ours[section]['mae'])
+    report = (tmp_path / 'out' / 'parity_report.md').read_text()
+    assert 'Stage 1' in report and 'Fused pipeline' in report
+    if ref is not None:
+        assert overall == 'PARITY PASS', report
+        for k in ['mae', 'rmse', 'imae', 'irmse']:
+            # same weights through the same PNG-quantized bridge
+            assert abs(ref['stage2'][k] - ours['stage2'][k]) <= \
+                max(1e-1, 1e-3 * abs(ref['stage2'][k])), (k, report)
+
+
+@pytest.mark.slow
 def test_parity_protocol_synthetic_cli(tmp_path):
     """The CLI's own entry point (--synthetic) must exercise the full
     report path end-to-end — fixture generation, checkpoint round trip,

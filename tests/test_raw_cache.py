@@ -120,5 +120,7 @@ def test_training_dataset_raw_window_matches_plain(tmp_path, cache, rng):
             out = ds.get(i, np.random.default_rng((7, i)))
             assert len(out) == len(ref)
             for a, b in zip(out, ref):
-                assert a.dtype == np.float32 and a.shape == b.shape
+                # integer transport is on by default: both paths yield the
+                # same raw dtypes; equality covers values AND dtype
+                assert a.dtype == b.dtype and a.shape == b.shape
                 np.testing.assert_array_equal(a, b)

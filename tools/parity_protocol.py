@@ -46,10 +46,10 @@ from rcfd_tpu.data import io as data_utils
 from rcfd_tpu.utils import eval_utils
 
 
-def load_reference_fusionnet_module():
-    """Import the reference's fusionnet_model (torch CPU) in place, with
-    the torchvision stub from tests/reference_import. Returns None when
-    the reference tree or torch is unavailable."""
+def load_reference_module(name='fusionnet_model'):
+    """Import a reference src module (torch CPU) in place, with the
+    torchvision stub from tests/reference_import. Returns None when the
+    reference tree or torch is unavailable."""
     try:
         from reference_import import REFERENCE_SRC, install_torchvision_stub
         if not os.path.isdir(REFERENCE_SRC):
@@ -58,9 +58,13 @@ def load_reference_fusionnet_module():
         if REFERENCE_SRC not in sys.path:
             sys.path.insert(0, REFERENCE_SRC)
         import importlib
-        return importlib.import_module('fusionnet_model')
+        return importlib.import_module(name)
     except ImportError:
         return None
+
+
+def load_reference_fusionnet_module():
+    return load_reference_module('fusionnet_model')
 
 
 def reference_eval(checkpoint_path, image_paths, depth_paths, response_paths,
@@ -174,6 +178,248 @@ def ours_eval(checkpoint_path, args, net, output_dirpath):
     return results
 
 
+def _metric_row(out_m, gt_m):
+    return (eval_utils.mean_abs_err(1000.0 * out_m, 1000.0 * gt_m),
+            eval_utils.root_mean_sq_err(1000.0 * out_m, 1000.0 * gt_m),
+            eval_utils.inv_mean_abs_err(0.001 * out_m, 0.001 * gt_m),
+            eval_utils.inv_root_mean_sq_err(0.001 * out_m, 0.001 * gt_m))
+
+
+def reference_two_stage_eval(args, rn_net, fn_net, image_paths, radar_paths,
+                             gt_paths, bridge_dir, verbose):
+    """The reference's FULL evaluation chain, with the reference's own
+    model code: trained RadarNet scatter inference
+    (src/radarnet_main.py:534-591) -> real 16-bit PNG bridge write/read
+    (setup/setup_dataset_nuscenes_radarnet.py:344-345; BOTH streams
+    re-read through load_depth x256 per src/datasets.py:412-415) ->
+    FusionNet eval (src/fusionnet_main.py:608-896).
+
+    Returns {'stage1': intersection metrics, 'stage2': metrics} or None
+    when torch / the reference tree is unavailable."""
+    try:
+        import torch
+    except ImportError:
+        return None
+    ref_rn_model_mod = load_reference_module('radarnet_model')
+    ref_rn_main = load_reference_module('radarnet_main')
+    ref_fn_model_mod = load_reference_module('fusionnet_model')
+    ref_du = load_reference_module('data_utils')
+    if None in (ref_rn_model_mod, ref_rn_main, ref_fn_model_mod, ref_du):
+        return None
+
+    device = torch.device('cpu')
+    ref_rn = ref_rn_model_mod.RadarNetModel(
+        input_channels_image=rn_net['input_channels_image'],
+        input_channels_depth=rn_net['input_channels_depth'],
+        input_patch_size_image=tuple(rn_net['patch_size']),
+        encoder_type=rn_net['encoder_type'],
+        n_filters_encoder_image=rn_net['n_filters_encoder_image'],
+        n_neurons_encoder_depth=rn_net['n_neurons_encoder_depth'],
+        decoder_type=rn_net['decoder_type'],
+        n_filters_decoder=rn_net['n_filters_decoder'],
+        weight_initializer=rn_net['weight_initializer'],
+        activation_func=rn_net['activation_func'], device=device)
+    ref_rn.restore_model(args.radarnet_checkpoint)
+    ref_rn.eval()
+    ref_fn = ref_fn_model_mod.FusionNetModel(
+        input_channels_image=fn_net['input_channels_image'],
+        input_channels_depth=fn_net['input_channels_depth'],
+        encoder_type=fn_net['encoder_type'],
+        n_filters_encoder_image=fn_net['n_filters_encoder_image'],
+        n_filters_encoder_depth=fn_net['n_filters_encoder_depth'],
+        fusion_type=fn_net['fusion_type'],
+        decoder_type=fn_net['decoder_type'],
+        n_resolution_decoder=fn_net['n_resolutions_decoder'],
+        n_filters_decoder=fn_net['n_filters_decoder'],
+        deconv_type='up', activation_func=fn_net['activation_func'],
+        weight_initializer=fn_net['weight_initializer'],
+        min_predict_depth=fn_net['min_predict_depth'],
+        max_predict_depth=fn_net['max_predict_depth'], device=device)
+    ref_fn.restore_model(args.fusionnet_checkpoint)
+    ref_fn.eval()
+
+    os.makedirs(os.path.join(bridge_dir, 'depth_predicted'), exist_ok=True)
+    os.makedirs(os.path.join(bridge_dir, 'response_predicted'),
+                exist_ok=True)
+
+    lo, hi = args.normalized_image_range
+    pad = rn_net['patch_size'][1] // 2
+    n_sample = len(image_paths)
+    s1 = np.full((n_sample, 4), np.nan)
+    s2 = np.zeros((n_sample, 4))
+    for idx in range(n_sample):
+        image = data_utils.load_image(image_paths[idx], normalize=False,
+                                      data_format='CHW')
+        image = image.astype(np.float32) / 255.0 * (hi - lo) + lo
+        points = np.load(radar_paths[idx]).astype(np.float32)
+        if points.ndim == 1:
+            points = points[None]
+        gt = data_utils.load_depth(gt_paths[idx], data_format='CHW')[0]
+        h = image.shape[1]
+
+        with torch.no_grad():
+            t_image = torch.from_numpy(image[None])
+            t_points = torch.from_numpy(points.copy())
+            t_points[:, 0] += pad
+            boxes = [torch.stack([
+                torch.stack([x - pad, torch.tensor(0.0), x + pad,
+                             torch.tensor(float(h))])
+                for x in t_points[:, 0]], dim=0)]
+            quasi_depth, quasi_response = ref_rn_main.forward(
+                model=ref_rn, image=t_image, radar_points=t_points,
+                bounding_boxes_list=boxes, device=device)
+        quasi_depth = quasi_depth.numpy()[0]
+        quasi_response = quasi_response.numpy()[0]
+
+        # the REAL PNG bridge, reference codecs both directions
+        depth_png = os.path.join(bridge_dir, 'depth_predicted',
+                                 '{:010d}.png'.format(idx))
+        response_png = os.path.join(bridge_dir, 'response_predicted',
+                                    '{:010d}.png'.format(idx))
+        ref_du.save_depth(quasi_depth, depth_png)
+        ref_du.save_response(quasi_response, response_png)
+        depth_rt = ref_du.load_depth(depth_png)
+        response_rt = ref_du.load_depth(response_png)  # x256 quirk
+
+        # stage-1 intersection metrics (radarnet eval protocol,
+        # src/radarnet_main.py:1013-1038)
+        v_inter = (depth_rt > 0) & (gt > 0)
+        rn_mask = np.where(v_inter & (gt > args.radarnet_min_evaluate_depth)
+                           & (gt < args.radarnet_max_evaluate_depth))
+        if rn_mask[0].size:
+            s1[idx] = _metric_row(depth_rt[rn_mask], gt[rn_mask])
+
+        with torch.no_grad():
+            t_input_depth = torch.from_numpy(np.stack(
+                [depth_rt, response_rt], axis=0)[None].astype(np.float32))
+            output = ref_fn.forward(image=t_image,
+                                    input_depth=t_input_depth)
+        output = output.numpy()[0, 0]
+        fn_mask = np.where((gt > 0) & (gt > args.min_evaluate_depth)
+                           & (gt < args.max_evaluate_depth))
+        s2[idx] = _metric_row(output[fn_mask], gt[fn_mask])
+        if verbose:
+            print('[reference 2-stage] {}/{}'.format(idx + 1, n_sample),
+                  end='\r')
+
+    keys = ['mae', 'rmse', 'imae', 'irmse']
+    return {
+        'stage1': dict(zip(keys, np.nanmean(s1, axis=0).tolist())),
+        'stage2': dict(zip(keys, np.mean(s2, axis=0).tolist())),
+    }
+
+
+def ours_two_stage_eval(args, rn_net, fn_net, output_dirpath):
+    """Our CLI chain under the same protocol: rcfd_tpu.radarnet_main.run
+    (writes the real PNG bridge) -> manifests -> fusionnet_main.run; plus
+    the fused TwoStagePipeline (quantize_bridge=True) over the same
+    frames. Returns {'stage1', 'stage2', 'fused'} metric dicts."""
+    from rcfd_tpu import fusionnet_main, radarnet_main
+
+    bridge_dir = os.path.join(output_dirpath, 'ours_bridge')
+    s1_results, depth_paths, response_paths = radarnet_main.run(
+        restore_path=args.radarnet_checkpoint,
+        image_path=args.image_path,
+        radar_path=args.radar_path,
+        ground_truth_path=args.ground_truth_path,
+        patch_size=rn_net['patch_size'],
+        input_channels_image=rn_net['input_channels_image'],
+        input_channels_depth=rn_net['input_channels_depth'],
+        normalized_image_range=list(args.normalized_image_range),
+        encoder_type=rn_net['encoder_type'],
+        n_filters_encoder_image=rn_net['n_filters_encoder_image'],
+        n_neurons_encoder_depth=rn_net['n_neurons_encoder_depth'],
+        decoder_type=rn_net['decoder_type'],
+        n_filters_decoder=rn_net['n_filters_decoder'],
+        weight_initializer=rn_net['weight_initializer'],
+        activation_func=rn_net['activation_func'],
+        output_dirpath=bridge_dir,
+        save_outputs=True, keep_input_filenames=False,
+        verbose=args.verbose,
+        min_evaluate_depth=args.radarnet_min_evaluate_depth,
+        max_evaluate_depth=args.radarnet_max_evaluate_depth,
+        max_points_inference=args.max_points_inference,
+        eval_batch_size=args.eval_batch_size)
+
+    depth_manifest = os.path.join(bridge_dir, 'depth_predicted.txt')
+    response_manifest = os.path.join(bridge_dir, 'response_predicted.txt')
+    data_utils.write_paths(depth_manifest, depth_paths)
+    data_utils.write_paths(response_manifest, response_paths)
+
+    class _Stage2Args:
+        pass
+
+    a2 = _Stage2Args()
+    for k, v in vars(args).items():
+        setattr(a2, k, v)
+    a2.depth_path = depth_manifest
+    a2.response_path = response_manifest
+    s2_results = ours_eval(args.fusionnet_checkpoint, a2, fn_net,
+                           os.path.join(output_dirpath, 'ours_stage2'))
+
+    fused_results = _ours_fused_eval(args, rn_net, fn_net)
+    out = {'stage2': s2_results, 'fused': fused_results}
+    if s1_results is not None:
+        out['stage1'] = {k.replace('_intersection', ''): v
+                         for k, v in s1_results.items()}
+    return out
+
+
+def _ours_fused_eval(args, rn_net, fn_net):
+    """TwoStagePipeline (one jitted program, quantize_bridge=True) over
+    the same manifests — the serving-path counterpart of the CLI chain."""
+    from rcfd_tpu.data.datasets import RadarNetInferenceDataset
+    from rcfd_tpu.data.loader import iter_device_batches
+    from rcfd_tpu.data.transport import decode_np
+    from rcfd_tpu.pipeline import TwoStagePipeline
+
+    image_paths = data_utils.read_paths(args.image_path)
+    radar_paths = data_utils.read_paths(args.radar_path)
+    gt_paths = data_utils.read_paths(args.ground_truth_path)
+    dataset = RadarNetInferenceDataset(
+        image_paths=image_paths, radar_paths=radar_paths,
+        ground_truth_paths=gt_paths,
+        max_points=(None if args.max_points_inference <= 0
+                    else args.max_points_inference))
+    sample_image = data_utils.load_image(image_paths[0])
+    pipeline = TwoStagePipeline.from_checkpoints(
+        args.radarnet_checkpoint, args.fusionnet_checkpoint,
+        image_height=sample_image.shape[0],
+        image_width=sample_image.shape[1],
+        patch_size=rn_net['patch_size'],
+        radarnet_kwargs=dict(
+            encoder_type=rn_net['encoder_type'],
+            n_filters_encoder_image=rn_net['n_filters_encoder_image'],
+            n_neurons_encoder_depth=rn_net['n_neurons_encoder_depth'],
+            decoder_type=rn_net['decoder_type'],
+            n_filters_decoder=rn_net['n_filters_decoder']),
+        fusionnet_kwargs=dict(
+            encoder_type=fn_net['encoder_type'],
+            n_filters_encoder_image=fn_net['n_filters_encoder_image'],
+            n_filters_encoder_depth=fn_net['n_filters_encoder_depth'],
+            fusion_type=fn_net['fusion_type'],
+            decoder_type=fn_net['decoder_type'],
+            n_resolution_decoder=fn_net['n_resolutions_decoder'],
+            n_filters_decoder=fn_net['n_filters_decoder'],
+            min_predict_depth=fn_net['min_predict_depth'],
+            max_predict_depth=fn_net['max_predict_depth']),
+        normalized_image_range=tuple(args.normalized_image_range),
+        quantize_bridge=True)
+
+    rows = np.zeros((len(dataset), 4))
+    for idxs, samples, (images, points, valid) in iter_device_batches(
+            dataset, args.eval_batch_size, fields=(0, 1, 2)):
+        dense_b, _, _ = pipeline.forward_batched(images, points, valid)
+        dense_b = np.asarray(dense_b)
+        for j, idx in enumerate(idxs):
+            gt = decode_np(samples[j][3])[..., 0]
+            mask = np.where((gt > 0) & (gt > args.min_evaluate_depth)
+                            & (gt < args.max_evaluate_depth))
+            rows[idx] = _metric_row(dense_b[j][mask], gt[mask])
+    keys = ['mae', 'rmse', 'imae', 'irmse']
+    return dict(zip(keys, np.mean(rows, axis=0).tolist()))
+
+
 def format_table(ref, ours, tol_mm, tol_inv, tol_rel=1e-3):
     """Markdown-ready side-by-side table + PASS/FAIL. ref may be None
     (reference unavailable) — then only our numbers print.
@@ -224,6 +470,47 @@ def build_parser():
     parser.add_argument('--depth_path', type=str, default=None)
     parser.add_argument('--response_path', type=str, default=None)
     parser.add_argument('--ground_truth_path', type=str, default=None)
+    # ---- two-stage chain mode (VERDICT r4 #3): trained RadarNet ->
+    # real PNG bridge -> FusionNet eval, reference vs ours vs fused ----
+    parser.add_argument('--two_stage', action='store_true',
+                        help='run the FULL chain (RadarNet -> bridge -> '
+                             'FusionNet); implied by --radarnet_checkpoint')
+    parser.add_argument('--radarnet_checkpoint', type=str, default=None,
+                        help='stage-1 .pth; enables the two-stage chain '
+                             '(the depth/response manifests are then '
+                             'produced by the bridge, not inputs)')
+    parser.add_argument('--radar_path', type=str, default=None,
+                        help='radar .npy manifest (two-stage mode)')
+    parser.add_argument('--patch_size', nargs='+', type=int,
+                        default=[900, 288])
+    parser.add_argument('--radarnet_encoder_type', nargs='+', type=str,
+                        default=['radarnetv1', 'batch_norm'])
+    parser.add_argument('--radarnet_n_filters_encoder_image', nargs='+',
+                        type=int, default=[32, 64, 128, 128, 128])
+    parser.add_argument('--radarnet_n_neurons_encoder_depth', nargs='+',
+                        type=int, default=[32, 64, 128, 128, 128])
+    parser.add_argument('--radarnet_decoder_type', nargs='+', type=str,
+                        default=['multiscale', 'batch_norm'])
+    parser.add_argument('--radarnet_n_filters_decoder', nargs='+', type=int,
+                        default=[256, 128, 64, 32, 16])
+    parser.add_argument('--max_points_inference', type=int, default=0,
+                        help='static point-axis cap (0 = auto-size from '
+                             'the manifest)')
+    parser.add_argument('--radarnet_min_evaluate_depth', type=float,
+                        default=0.0)
+    parser.add_argument('--tolerance_rel_stage1', type=float, default=5e-3,
+                        help='relative tolerance for the stage-1 '
+                             'INTERSECTION metrics. Wider than '
+                             '--tolerance_rel because near-tie scatter '
+                             'argmax winners (torch-CPU vs XLA conv '
+                             'noise) change the intersection pixel SET, '
+                             'not just values — a set-membership effect '
+                             'that shrinks as checkpoints sharpen '
+                             'responses away from the 0.5 threshold')
+    parser.add_argument('--radarnet_max_evaluate_depth', type=float,
+                        default=100.0,
+                        help='radarnet eval protocol depth cap '
+                             '(bash/run_radarnet_nuscenes.sh)')
     parser.add_argument('--normalized_image_range', nargs='+', type=float,
                         default=[0, 1])
     # network settings (canonical release config)
@@ -307,19 +594,83 @@ def _setup_synthetic(args):
     return args
 
 
+def _setup_synthetic_two_stage(args):
+    """--synthetic --two_stage: radarnet fixture + tiny random-init
+    checkpoints for BOTH stages inside the output dir."""
+    import jax
+
+    from fixtures import make_radarnet_fixture
+    from rcfd_tpu.models import FusionNetModel, RadarNetModel
+
+    data_dir = os.path.join(args.output_dirpath, 'synthetic_data')
+    manifests = make_radarnet_fixture(data_dir, n_samples=2,
+                                      height=64, width=96, n_points=5)
+    args.patch_size = [32, 32]
+    args.radarnet_n_filters_encoder_image = [4, 8, 8, 8, 8]
+    args.radarnet_n_neurons_encoder_depth = [4, 8, 8, 8, 8]
+    args.radarnet_n_filters_decoder = [8, 8, 8, 8, 8]
+    rn = RadarNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=tuple(args.patch_size),
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=args.radarnet_n_filters_encoder_image,
+        n_neurons_encoder_depth=args.radarnet_n_neurons_encoder_depth,
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=args.radarnet_n_filters_decoder)
+    rn_params, rn_state = rn.init(jax.random.PRNGKey(0))
+    # decondition near-ties in winner selection (untrained logits ~0
+    # make argmax winners tie-break-sensitive across conv backends)
+    import jax.numpy as jnp
+    out0 = rn_params['decoder']['output0']['conv']
+    out0['weight'] = out0['weight'] * jnp.float32(50.0)
+    rn_ckpt = os.path.join(args.output_dirpath, 'synthetic-radarnet-0.pth')
+    rn.save_checkpoint(rn_ckpt, rn_params, rn_state, step=0)
+    args.radarnet_checkpoint = rn_ckpt
+
+    tiny = dict(image=[8, 12, 16, 16, 16], depth=[4, 6, 8, 8, 8],
+                decoder=[16, 12, 8, 8, 8])
+    fn = FusionNetModel(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type='fusionnet18_batch_norm',
+        n_filters_encoder_image=tiny['image'],
+        n_filters_encoder_depth=tiny['depth'],
+        fusion_type='weight_and_project',
+        decoder_type='multiscale_batch_norm',
+        n_resolution_decoder=1, n_filters_decoder=tiny['decoder'],
+        min_predict_depth=1.0, max_predict_depth=100.0)
+    fn_params, fn_state = fn.init(jax.random.PRNGKey(1))
+    fn_ckpt = os.path.join(args.output_dirpath, 'synthetic-fusionnet-0.pth')
+    fn.save_checkpoint(fn_ckpt, fn_params, fn_state, step=0)
+    args.fusionnet_checkpoint = fn_ckpt
+    args.n_filters_encoder_image = tiny['image']
+    args.n_filters_encoder_depth = tiny['depth']
+    args.n_filters_decoder = tiny['decoder']
+
+    args.image_path = manifests['image']
+    args.radar_path = manifests['radar']
+    args.ground_truth_path = manifests['ground_truth']
+    return args
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dirpath, exist_ok=True)
+    two_stage = args.radarnet_checkpoint is not None or args.two_stage
     if args.synthetic:
-        args = _setup_synthetic(args)
-    missing = [n for n in ('fusionnet_checkpoint', 'image_path',
-                           'depth_path', 'response_path',
-                           'ground_truth_path')
-               if getattr(args, n) is None]
+        args = (_setup_synthetic_two_stage(args) if two_stage
+                else _setup_synthetic(args))
+    required = (('fusionnet_checkpoint', 'radarnet_checkpoint',
+                 'image_path', 'radar_path', 'ground_truth_path')
+                if two_stage else
+                ('fusionnet_checkpoint', 'image_path', 'depth_path',
+                 'response_path', 'ground_truth_path'))
+    missing = [n for n in required if getattr(args, n) is None]
     if missing:
         build_parser().error(
             'the following arguments are required (or pass --synthetic): '
             + ', '.join('--' + m for m in missing))
+    if two_stage:
+        return main_two_stage(args)
 
     net = dict(
         input_channels_image=args.input_channels_image,
@@ -372,6 +723,96 @@ def main(argv=None):
         f.write(report)
     print('wrote {}'.format(report_path))
     return ref_results, our_results, verdict
+
+
+def main_two_stage(args):
+    """Full-chain protocol: reference RadarNet -> real PNG bridge ->
+    reference FusionNet, vs our run_radarnet -> bridge -> run_fusionnet,
+    vs the fused TwoStagePipeline — one report, three stage-2 columns
+    plus the stage-1 intersection table."""
+    fn_net = dict(
+        input_channels_image=args.input_channels_image,
+        input_channels_depth=args.input_channels_depth,
+        encoder_type='-'.join(args.encoder_type),
+        n_filters_encoder_image=args.n_filters_encoder_image,
+        n_filters_encoder_depth=args.n_filters_encoder_depth,
+        fusion_type=args.fusion_type,
+        decoder_type='-'.join(args.decoder_type),
+        n_filters_decoder=args.n_filters_decoder,
+        n_resolutions_decoder=args.n_resolutions_decoder,
+        min_predict_depth=args.min_predict_depth,
+        max_predict_depth=args.max_predict_depth,
+        weight_initializer=args.weight_initializer,
+        activation_func=args.activation_func)
+    rn_net = dict(
+        input_channels_image=3, input_channels_depth=3,
+        patch_size=list(args.patch_size),
+        encoder_type='-'.join(args.radarnet_encoder_type),
+        n_filters_encoder_image=args.radarnet_n_filters_encoder_image,
+        n_neurons_encoder_depth=args.radarnet_n_neurons_encoder_depth,
+        decoder_type='-'.join(args.radarnet_decoder_type),
+        n_filters_decoder=args.radarnet_n_filters_decoder,
+        weight_initializer=args.weight_initializer,
+        activation_func=args.activation_func)
+
+    image_paths = data_utils.read_paths(args.image_path)
+    radar_paths = data_utils.read_paths(args.radar_path)
+    gt_paths = data_utils.read_paths(args.ground_truth_path)
+    assert len(image_paths) == len(radar_paths) == len(gt_paths)
+
+    ref = None
+    if not args.skip_reference:
+        ref = reference_two_stage_eval(
+            args, rn_net, fn_net, image_paths, radar_paths, gt_paths,
+            os.path.join(args.output_dirpath, 'reference_bridge'),
+            args.verbose)
+        if ref is None:
+            print('reference tree / torch unavailable — running our '
+                  'stack only (pass --skip_reference to silence)')
+
+    ours = ours_two_stage_eval(args, rn_net, fn_net, args.output_dirpath)
+
+    sections = []
+    verdicts = []
+    if 'stage1' in ours:
+        t1, v1 = format_table(ref and ref['stage1'], ours['stage1'],
+                              args.tolerance_mm, args.tolerance_inv,
+                              args.tolerance_rel_stage1)
+        sections.append('## Stage 1 — RadarNet intersection metrics '
+                        '(depth in ({}, {}) m)\n\n{}\n\n**{}**'.format(
+                            args.radarnet_min_evaluate_depth,
+                            args.radarnet_max_evaluate_depth, t1, v1))
+        verdicts.append(v1)
+    t2, v2 = format_table(ref and ref['stage2'], ours['stage2'],
+                          args.tolerance_mm, args.tolerance_inv,
+                          args.tolerance_rel)
+    sections.append('## Stage 2 — FusionNet on the PNG bridge '
+                    '(depth in ({}, {}) m)\n\n{}\n\n**{}**'.format(
+                        args.min_evaluate_depth, args.max_evaluate_depth,
+                        t2, v2))
+    verdicts.append(v2)
+    tf, vf = format_table(ref and ref['stage2'], ours['fused'],
+                          args.tolerance_mm, args.tolerance_inv,
+                          args.tolerance_rel)
+    sections.append('## Fused pipeline (one jitted program, '
+                    'quantize_bridge) vs the reference chain\n\n{}\n\n'
+                    '**{}**'.format(tf, vf))
+    verdicts.append(vf)
+
+    overall = ('PARITY PASS' if all(v == 'PARITY PASS' for v in verdicts)
+               else 'PARITY FAIL' if ref is not None
+               else 'REFERENCE UNAVAILABLE (our metrics only)')
+    report = ('# Two-stage parity protocol report\n\n'
+              'radarnet checkpoint: {}\nfusionnet checkpoint: {}\n'
+              'frames: {}\n\n{}\n\n**OVERALL: {}**\n'.format(
+                  args.radarnet_checkpoint, args.fusionnet_checkpoint,
+                  len(image_paths), '\n\n'.join(sections), overall))
+    print(report)
+    report_path = os.path.join(args.output_dirpath, 'parity_report.md')
+    with open(report_path, 'w') as f:
+        f.write(report)
+    print('wrote {}'.format(report_path))
+    return ref, ours, overall
 
 
 if __name__ == '__main__':
