@@ -125,14 +125,38 @@ def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
         response = response.astype(cdtype) * cdtype(1.0 / 256.0)
         return image, depth, response
 
+    # 2x2 space-to-depth packed transport (ops/s2d_stem.py): the host
+    # packs each stream; the stems consume the packed layout directly,
+    # dodging the 128-lane padding tax on the full-res C<=3 reads
+    # (measured 2.1x per stem conv, docs/PERF.md round-5). depth and
+    # response pack separately; their phases interleave in-graph so the
+    # concat matches pack2x2(concat(depth, response)) channel order.
+    _s2d_raw = os.environ.get('RCFD_BENCH_S2D', '1').strip().lower()
+    if _s2d_raw in ('0', 'false', 'off', 'no'):
+        s2d = False
+    elif _s2d_raw in ('1', 'true', 'on', 'yes'):
+        s2d = True
+    else:
+        raise ValueError(
+            f'RCFD_BENCH_S2D={_s2d_raw!r}: expected one of 0/false/off/no '
+            f'or 1/true/on/yes')
+
+    def build_input_depth(depth, response):
+        if not s2d:
+            return jnp.concatenate([depth, response], axis=-1)
+        stacked = jnp.stack([depth, response], axis=-1)  # (B,h,w,4,2)
+        return stacked.reshape(*depth.shape[:-1], 8)
+
     def make_loop(n):
         @jax.jit
         def loop(p, s, image, depth, response):
             image, depth, response = decode(image, depth, response)
-            input_depth = jnp.concatenate([depth, response], axis=-1)
+            input_depth = build_input_depth(depth, response)
 
             def body(img, _):
                 out, _ = model.apply(p, s, img, input_depth, training=False)
+                if s2d:  # out is full-res; fold a strided view back in
+                    out = out[:, ::2, ::2, :]
                 img = img + out.astype(img.dtype) * 1e-12
                 return img, ()
 
@@ -144,7 +168,7 @@ def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
     @jax.jit
     def forward(p, s, image, depth, response):
         image, depth, response = decode(image, depth, response)
-        input_depth = jnp.concatenate([depth, response], axis=-1)
+        input_depth = build_input_depth(depth, response)
         out, _ = model.apply(p, s, image, input_depth, training=False)
         return out.astype(jnp.float32)
 
@@ -153,6 +177,11 @@ def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
     for batch in batch_candidates:
         try:
             image, depth, response = _inputs(batch, rng)
+            if s2d:
+                from rcfd_tpu.ops.s2d_stem import pack2x2_np
+                image, depth, response = (pack2x2_np(image),
+                                          pack2x2_np(depth),
+                                          pack2x2_np(response))
             args = tuple(jax.device_put(a) for a in (image, depth, response))
 
             # ~64 frames per timing loop bounds both compile size and

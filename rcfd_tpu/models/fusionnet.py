@@ -41,6 +41,7 @@ class FusionNetModel:
         from ..nn.perf import PerfConfig
         self.perf = perf if perf is not None else PerfConfig.from_env()
         self.encoder_type = encoder_type
+        self.input_channels_image = input_channels_image
         self.min_predict_depth = min_predict_depth
         self.max_predict_depth = max_predict_depth
 
@@ -127,9 +128,15 @@ class FusionNetModel:
             latent, skips, new_state['encoder'] = self.encoder(
                 params['encoder'], state['encoder'], image, input_depth,
                 training=training)
+        h, w = image.shape[1:3]
+        if image.shape[-1] == 4 * self.input_channels_image:
+            # 2x2 space-to-depth packed input (ops/s2d_stem.py): the
+            # full-res frame is (2h, 2w); the stems consume the packed
+            # layout directly, everything downstream is scale-identical.
+            h, w = 2 * h, 2 * w
         outputs, new_state['decoder'] = self.decoder(
             params['decoder'], state['decoder'], latent, skips,
-            shape=image.shape[1:3], training=training)
+            shape=(h, w), training=training)
         outputs = [
             self.min_predict_depth /
             (jax.nn.sigmoid(out) + self.min_predict_depth / self.max_predict_depth)

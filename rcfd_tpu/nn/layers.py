@@ -92,7 +92,18 @@ class Conv2d(Module):
         return params, state
 
     def __call__(self, params, state, x, training=False):
-        y = F.conv2d(x, params['conv']['weight'], stride=self.stride)
+        if (self.kernel_size == 7 and self.stride == 2
+                and x.shape[-1] == 4 * self.in_channels
+                and x.shape[-1] != self.in_channels):
+            # 2x2 space-to-depth packed input (ops/s2d_stem.py): the
+            # caller packed the full-res C<=3 frame on the host to dodge
+            # the 128-lane padding tax on the stem read (measured 2.1x,
+            # docs/PERF.md round-5). Exact rewrite of the 7x7/s2 conv;
+            # weights keep their canonical (7,7,C,O) checkpoint shape.
+            from ..ops.s2d_stem import conv2d_s2d_stem
+            y = conv2d_s2d_stem(x, params['conv']['weight'])
+        else:
+            y = F.conv2d(x, params['conv']['weight'], stride=self.stride)
         if 'bias' in params['conv']:  # BN folded into the conv (inference)
             y = y + params['conv']['bias'].astype(y.dtype)
         new_state = state
