@@ -51,7 +51,8 @@ def device_prefetch(iterator, sharding=None, buffer_size: int = 2):
 
 
 def iter_device_batches(dataset, batch_size: int, fields=None,
-                        prefetch: int = 2):
+                        prefetch: int = 2, pack_fields=(),
+                        pack_factor: int = 2):
     """Bulk-inference feeder: yield (idxs, host_samples, device_arrays)
     with the host fetch + H2D transfer overlapped against the consumer's
     device compute (the train loops already double-buffer via
@@ -67,11 +68,26 @@ def iter_device_batches(dataset, batch_size: int, fields=None,
       stay host-only (e.g. ground truth used for metrics).
     - Samples are yielded exactly as the dataset produced them
       (integer transport included — decode host copies via
-      transport.decode_np where numpy math needs floats)."""
+      transport.decode_np where numpy math needs floats).
+    - `pack_fields`: sample positions to space-to-depth pack
+      (`pack_factor` x `pack_factor`, ops/s2d_stem.py) on the host
+      before transfer; the stems consume the packed layout directly —
+      exact. Fields whose H or W do not divide by the factor are
+      transferred unpacked (the consumer keys its graph on the input
+      shape, so both forms share one code path)."""
     import jax
+
+    from ..ops.s2d_stem import pack_np
 
     n_sample = len(dataset)
     bsz = max(1, min(batch_size, n_sample))
+
+    def stage(j, stacked):
+        if j in pack_fields and stacked.ndim == 4 and \
+                stacked.shape[1] % pack_factor == 0 and \
+                stacked.shape[2] % pack_factor == 0:
+            stacked = pack_np(stacked, pack_factor)
+        return jax.device_put(stacked)
 
     def produce(out_q, stop):
         try:
@@ -83,7 +99,7 @@ def iter_device_batches(dataset, batch_size: int, fields=None,
                 padded = samples + [samples[-1]] * (bsz - len(samples))
                 use = fields if fields is not None else range(len(padded[0]))
                 device = tuple(
-                    jax.device_put(np.stack([s[j] for s in padded]))
+                    stage(j, np.stack([s[j] for s in padded]))
                     for j in use)
                 out_q.put((idxs, samples, device))
             out_q.put(None)

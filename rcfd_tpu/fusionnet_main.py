@@ -131,14 +131,27 @@ def _make_train_step(model: FusionNetModel,
 
 
 def make_forward_fn(model: FusionNetModel, transforms: Transforms):
-    """Jitted inference forward over one normalized full-res frame."""
+    """Jitted inference forward over one normalized full-res frame.
+
+    Accepts unpacked (B, H, W, C) streams or the loader's 2x2
+    space-to-depth packed form (B, H/2, W/2, 4C) — detected by the image
+    channel count; jit keys the graph on the shape. Packed depth and
+    response interleave per phase so the concatenation equals
+    pack2x2(concat(depth, response)), the channel order the packed stems
+    assume (tests/test_s2d_stem.py pins the interleave)."""
 
     @jax.jit
     def forward(params, state, image, depth, response):
         image, depth, response = transport.decode((image, depth, response))
         (image_t,) = transforms.transform(
             jax.random.PRNGKey(0), [image], random_transform_probability=0.0)
-        input_depth = jnp.concatenate([depth, response], axis=-1)
+        if image.shape[-1] in (4 * model.input_channels_image,
+                               16 * model.input_channels_image):
+            stacked = jnp.stack([depth, response], axis=-1)  # (B,h,w,4,2)
+            input_depth = stacked.reshape(*depth.shape[:-1],
+                                          2 * depth.shape[-1])
+        else:
+            input_depth = jnp.concatenate([depth, response], axis=-1)
         # follow the params' compute dtype (bf16 serving: cast params once)
         pdtype = jax.tree_util.tree_leaves(params)[0].dtype
         output_depth, _ = model.apply(
@@ -514,7 +527,8 @@ def _apply_device_preference(device: str):
 
 
 def iter_forward_outputs(forward_fn, params, state, dataset,
-                         eval_batch_size: int):
+                         eval_batch_size: int, pack_s2d: bool = False,
+                         pack_factor: int = 4):
     """Drive the (batch-polymorphic) FusionNet forward over an inference
     dataset, yielding per-frame (idx, sample_tuple, output_depth (H, W))
     in order. The tail batch is padded by repeating its last sample so
@@ -524,9 +538,16 @@ def iter_forward_outputs(forward_fn, params, state, dataset,
     Host decode + H2D transfer for batch i+1 overlap the device compute
     of batch i (iter_device_batches double buffer); the device receives
     integer-transport arrays, the yielded host samples are decoded to the
-    float32 values downstream numpy consumers expect."""
+    float32 values downstream numpy consumers expect.
+
+    pack_s2d: space-to-depth pack (pack_factor x pack_factor) the device
+    streams on the host (ops/s2d_stem.py; exact — the packed stems dodge
+    the 128-lane padding tax on full-res reads). Frames whose dims do not
+    divide by the factor fall back unpacked."""
     for idxs, samples, (images, depths, responses) in iter_device_batches(
-            dataset, eval_batch_size, fields=(0, 1, 2)):
+            dataset, eval_batch_size, fields=(0, 1, 2),
+            pack_fields=(0, 1, 2) if pack_s2d else (),
+            pack_factor=pack_factor):
         outputs = np.asarray(
             forward_fn(params, state, images, depths, responses))
         for j, idx in enumerate(idxs):
@@ -546,7 +567,9 @@ def validate(model, params, state, forward_fn, dataset, step, best_results,
     irmse = np.zeros(n_sample)
 
     for idx, sample, output_depth in iter_forward_outputs(
-            forward_fn, params, state, dataset, eval_batch_size):
+            forward_fn, params, state, dataset, eval_batch_size,
+            pack_s2d=model.perf.s2d_input_enabled(),
+            pack_factor=model.perf.s2d_factor):
         image, depth, response, ground_truth = sample
         gt = ground_truth[..., 0]
 
@@ -702,7 +725,9 @@ def run(restore_path,
         irmse = np.zeros(n_sample)
 
     for idx, sample, output_depth_fusion in iter_forward_outputs(
-            forward_fn, params, state, dataset, eval_batch_size):
+            forward_fn, params, state, dataset, eval_batch_size,
+            pack_s2d=model.perf.s2d_input_enabled(),
+            pack_factor=model.perf.s2d_factor):
         image, depth, response = sample[:3]
         if ground_truth_available:
             ground_truth = sample[3]

@@ -134,6 +134,9 @@ class FusionNetModel:
             # full-res frame is (2h, 2w); the stems consume the packed
             # layout directly, everything downstream is scale-identical.
             h, w = 2 * h, 2 * w
+        elif image.shape[-1] == 16 * self.input_channels_image:
+            # 4x4-packed input (ops/packed_stage1.py)
+            h, w = 4 * h, 4 * w
         outputs, new_state['decoder'] = self.decoder(
             params['decoder'], state['decoder'], latent, skips,
             shape=(h, w), training=training)

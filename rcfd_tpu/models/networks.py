@@ -125,6 +125,8 @@ class FusionNetEncoder(Module):
                  use_batch_norm: bool = False,
                  fusion_type: str = 'add'):
         self.fusion_type = fusion_type
+        self.input_channels_image = input_channels_image
+        self.input_channels_depth = input_channels_depth
         n_fi = list(n_filters_encoder_image)
         n_fd = list(n_filters_encoder_depth)
         assert len(n_fi) == len(n_fd)
@@ -208,15 +210,45 @@ class FusionNetEncoder(Module):
         new_state = dict(state)
         layers = []
 
-        fi, new_state['conv1_image'] = self.children['conv1_image'](
-            params['conv1_image'], state['conv1_image'], image, training=training)
-        fd, new_state['conv1_depth'] = self.children['conv1_depth'](
-            params['conv1_depth'], state['conv1_depth'], depth, training=training)
-        layers.append(self._fuse(params, state, new_state, 1, fi, fd, training))
+        # 2x2 space-to-depth packed inputs (ops/packed_stage1.py): at
+        # inference the whole stage-1 region — stems, fusion, maxpool —
+        # runs in packed layout so no lane-padded (H/2, W/2, C<=32)
+        # buffer is materialized (the top padded-traffic site of the
+        # serving roofline, docs/PERF.md round-5). Exact; eval-mode BN is
+        # folded per channel in-graph. Training with packed inputs still
+        # works through the per-layer Conv2d dispatch (nn/layers.py).
+        ci, cd = self.input_channels_image, self.input_channels_depth
+        packed = (not training
+                  and ((image.shape[-1] == 4 * ci
+                        and depth.shape[-1] == 4 * cd
+                        and image.shape[1] % 2 == 0
+                        and image.shape[2] % 2 == 0)
+                       or (image.shape[-1] == 16 * ci
+                           and depth.shape[-1] == 16 * cd)))
+        if packed:
+            from ..ops.packed_stage1 import (max_pool2d_packed,
+                                             packed_fusion_stage1)
+            from ..ops.packed_tail import depth_to_space
+            fused_p, fi_p, fd_p = packed_fusion_stage1(
+                self, params, state, image, depth)
+            # skip handover: the decoder consumes the unpacked skip (its
+            # value is bit-identical to the unpacked encoder's)
+            layers.append(depth_to_space(fused_p, fused_p.shape[-1] // 4))
+            fi = max_pool2d_packed(fi_p, fi_p.shape[-1] // 4)
+            fd = max_pool2d_packed(fd_p, fd_p.shape[-1] // 4)
+        else:
+            fi, new_state['conv1_image'] = self.children['conv1_image'](
+                params['conv1_image'], state['conv1_image'], image,
+                training=training)
+            fd, new_state['conv1_depth'] = self.children['conv1_depth'](
+                params['conv1_depth'], state['conv1_depth'], depth,
+                training=training)
+            layers.append(
+                self._fuse(params, state, new_state, 1, fi, fd, training))
 
         for i in range(1, self.n_stages):
             stage = i + 1
-            if i == 1:
+            if i == 1 and not packed:
                 fi = F.max_pool2d(fi, 3, 2, 1)
                 fd = F.max_pool2d(fd, 3, 2, 1)
             iname = 'blocks{}_image'.format(stage)

@@ -102,6 +102,17 @@ class Conv2d(Module):
             # weights keep their canonical (7,7,C,O) checkpoint shape.
             from ..ops.s2d_stem import conv2d_s2d_stem
             y = conv2d_s2d_stem(x, params['conv']['weight'])
+        elif (self.kernel_size == 7 and self.stride == 2
+                and x.shape[-1] == 16 * self.in_channels
+                and x.shape[-1] != self.in_channels):
+            # 4x4-packed input: packed-output stem + depth-to-space (the
+            # layer contract stays unpacked; inference fast paths consume
+            # the packed form directly via ops/packed_stage1.py)
+            from ..ops.packed_stage1 import conv2d_s4d_stem_packed
+            from ..ops.packed_tail import depth_to_space
+            y = depth_to_space(
+                conv2d_s4d_stem_packed(x, params['conv']['weight']),
+                self.out_channels)
         else:
             y = F.conv2d(x, params['conv']['weight'], stride=self.stride)
         if 'bias' in params['conv']:  # BN folded into the conv (inference)

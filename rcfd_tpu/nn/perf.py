@@ -79,6 +79,15 @@ class PerfConfig:
     # the fused serving graph (XLA fuses better there)
     pallas_scatter: Optional[bool] = None
     decode_chunks: Optional[int] = None
+    # Space-to-depth packed input transport for full-res inference
+    # surfaces (ops/s2d_stem.py + ops/packed_stage1.py). Exact; the host
+    # loader packs, the stems consume the packed layout. None = on for
+    # TPU backends (where the 128-lane padding tax exists), off
+    # elsewhere. Frames whose dims don't divide by the factor fall back
+    # to unpacked transport. s2d_factor: 4 (48-channel image pack, the
+    # measured default) or 2.
+    s2d_input: Optional[bool] = None
+    s2d_factor: int = 4
 
     def __post_init__(self):
         for name in ('pool_window_gather', 'fused_pool2_gather'):
@@ -86,6 +95,9 @@ class PerfConfig:
             if v not in ('take', 'slice'):
                 raise ValueError(
                     f'{name} must be "take" or "slice", got {v!r}')
+        if self.s2d_factor not in (2, 4):
+            raise ValueError(
+                f's2d_factor must be 2 or 4, got {self.s2d_factor!r}')
 
     # -- resolved views (backend defaults) --------------------------------
 
@@ -97,6 +109,11 @@ class PerfConfig:
     def fast_max_width_resolved(self) -> int:
         return (self.fast_max_width if self.fast_max_width is not None
                 else FAST_MAX_WIDTH_DEFAULT)
+
+    def s2d_input_enabled(self) -> bool:
+        if self.s2d_input is not None:
+            return self.s2d_input
+        return _tpu_backend()
 
     def pallas_crop_enabled(self) -> bool:
         if self.pallas_crop is not None:
@@ -149,6 +166,9 @@ class PerfConfig:
             decode_chunks=(int(os.environ['RCFD_DECODE_CHUNKS'])
                            if os.environ.get('RCFD_DECODE_CHUNKS')
                            else None),
+            s2d_input=flag('RCFD_S2D_INPUT'),
+            s2d_factor=(int(os.environ['RCFD_S2D_FACTOR'])
+                        if os.environ.get('RCFD_S2D_FACTOR') else 4),
         )
         env.update(overrides)
         return cls(**env)

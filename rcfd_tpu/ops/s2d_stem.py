@@ -31,7 +31,23 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ['pack2x2', 'pack2x2_np', 's2d_stem_weights', 'conv2d_s2d_stem']
+__all__ = ['pack2x2', 'pack2x2_np', 'pack_np', 's2d_stem_weights',
+           'conv2d_s2d_stem']
+
+
+def pack_np(x: np.ndarray, factor: int) -> np.ndarray:
+    """Host-side FxF space-to-depth: (..., H, W, C) ->
+    (..., H/F, W/F, F*F*C), phase-major (alpha, beta, c) channel order
+    (factor=2 == pack2x2_np). Any dtype; H, W must divide by factor."""
+    *lead, h, w, c = x.shape
+    f = factor
+    if h % f or w % f:
+        raise ValueError(f'pack_np(factor={f}) needs H, W % {f} == 0; '
+                         f'got {(h, w)}')
+    x = x.reshape(*lead, h // f, f, w // f, f, c)
+    x = np.moveaxis(x, -4, -3)                  # (..., h/f, w/f, a, b, c)
+    return np.ascontiguousarray(x.reshape(*lead, h // f, w // f,
+                                          f * f * c))
 
 
 def pack2x2_np(x: np.ndarray) -> np.ndarray:

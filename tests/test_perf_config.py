@@ -19,7 +19,8 @@ def test_from_env_reads_all_gates(monkeypatch):
               'RCFD_FUSED_POOL2_PALLAS', 'RCFD_FUSED_POOL2_GATHER',
               'RCFD_INT8_TAIL', 'RCFD_PACKED_DECONV1', 'RCFD_PACKED_TAIL',
               'RCFD_POOL_WINDOW_GATHER', 'RCFD_PALLAS_CROP',
-              'RCFD_PALLAS_SCATTER', 'RCFD_DECODE_CHUNKS']:
+              'RCFD_PALLAS_SCATTER', 'RCFD_DECODE_CHUNKS',
+              'RCFD_S2D_INPUT', 'RCFD_S2D_FACTOR']:
         monkeypatch.delenv(k, raising=False)
 
     d = PerfConfig.from_env()
@@ -33,7 +34,11 @@ def test_from_env_reads_all_gates(monkeypatch):
     monkeypatch.setenv('RCFD_POOL_WINDOW_GATHER', 'slice')
     monkeypatch.setenv('RCFD_PALLAS_SCATTER', '1')
     monkeypatch.setenv('RCFD_DECODE_CHUNKS', '2')
+    monkeypatch.setenv('RCFD_S2D_INPUT', '1')
+    monkeypatch.setenv('RCFD_S2D_FACTOR', '2')
     c = PerfConfig.from_env()
+    assert c.s2d_input is True
+    assert c.s2d_factor == 2
     assert c.fast_decoder is False
     assert c.fast_max_width == 1600
     assert c.fused_pool2 is True
@@ -52,6 +57,8 @@ def test_validation_and_resolved_views():
         PerfConfig(pool_window_gather='gather')
     with pytest.raises(ValueError):
         PerfConfig(fused_pool2_gather='bogus')
+    with pytest.raises(ValueError):
+        PerfConfig(s2d_factor=3)
     c = PerfConfig()
     assert c.fast_max_width_resolved() == 256
     assert c.replace(fast_max_width=1600).fast_max_width_resolved() == 1600

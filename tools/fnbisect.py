@@ -23,6 +23,10 @@ def main():
     parser.add_argument('--batch', type=int, default=32)
     parser.add_argument('--n_scan', type=int, default=2)
     parser.add_argument('--cuts', nargs='*', default=['enc', 'full'])
+    parser.add_argument('--s2d', type=int, default=0,
+                        help='space-to-depth pack factor for the inputs '
+                             '(0 = unpacked; 2 or 4 take the packed '
+                             'stage-1 region, ops/packed_stage1.py)')
     args = parser.parse_args()
 
     import jax
@@ -44,9 +48,13 @@ def main():
     b = args.batch
     rng = np.random.default_rng(0)
     image, depth, response = bench._inputs(b, rng)
+    input_depth_np = np.concatenate([depth, response], axis=-1)
+    if args.s2d:
+        from rcfd_tpu.ops.s2d_stem import pack_np
+        image = pack_np(image, args.s2d)
+        input_depth_np = pack_np(input_depth_np, args.s2d)
     image = jax.device_put(jnp.asarray(image))
-    input_depth = jax.device_put(jnp.asarray(
-        np.concatenate([depth, response], axis=-1)))
+    input_depth = jax.device_put(jnp.asarray(input_depth_np))
 
     def cut_enc(p, s, img, dep):
         latent, skips, _ = model.encoder(
@@ -70,11 +78,14 @@ def main():
 
         @jax.jit
         def loop(p, s, img, dep, body=body):
+            # integer transport: decode once, carry the compute dtype
+            img = img.astype(cdtype)
+
             def it(carry, _):
                 acc = body(p, s, carry, dep)
                 return (carry + acc.astype(carry.dtype) * 1e-30), ()
             img2, _ = lax.scan(it, img, None, length=args.n_scan)
-            return img2[0, 0, 0, 0]
+            return img2[0, 0, 0, 0].astype(jnp.float32)
 
         t0 = time.perf_counter()
         try:
