@@ -125,12 +125,14 @@ def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
         response = response.astype(cdtype) * cdtype(1.0 / 256.0)
         return image, depth, response
 
-    # 2x2 space-to-depth packed transport (ops/s2d_stem.py): the host
-    # packs each stream; the stems consume the packed layout directly,
-    # dodging the 128-lane padding tax on the full-res C<=3 reads
-    # (measured 2.1x per stem conv, docs/PERF.md round-5). depth and
-    # response pack separately; their phases interleave in-graph so the
-    # concat matches pack2x2(concat(depth, response)) channel order.
+    # Space-to-depth packed transport (ops/s2d_stem.py +
+    # ops/packed_stage1.py): the host packs each stream; the packed
+    # stage-1 region consumes the packed layout directly, dodging the
+    # 128-lane padding tax on the full-res C<=3 reads (the roofline's
+    # top traffic site, docs/PERF.md round-5). depth and response are
+    # concatenated and packed jointly ON THE HOST (one pre-interleaved
+    # transfer, same bytes): an in-graph phase interleave materializes a
+    # buffer the depth stem re-reads every scan iteration.
     _s2d_raw = os.environ.get('RCFD_BENCH_S2D', '1').strip().lower()
     if _s2d_raw in ('0', 'false', 'off', 'no'):
         s2d = False
@@ -140,12 +142,12 @@ def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
         raise ValueError(
             f'RCFD_BENCH_S2D={_s2d_raw!r}: expected one of 0/false/off/no '
             f'or 1/true/on/yes')
+    s2d_f = int(os.environ.get('RCFD_BENCH_S2D_FACTOR', '4'))
 
     def build_input_depth(depth, response):
         if not s2d:
             return jnp.concatenate([depth, response], axis=-1)
-        stacked = jnp.stack([depth, response], axis=-1)  # (B,h,w,4,2)
-        return stacked.reshape(*depth.shape[:-1], 8)
+        return depth  # host-packed pack(concat(depth, response))
 
     def make_loop(n):
         @jax.jit
@@ -155,8 +157,14 @@ def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
 
             def body(img, _):
                 out, _ = model.apply(p, s, img, input_depth, training=False)
-                if s2d:  # out is full-res; fold a strided view back in
-                    out = out[:, ::2, ::2, :]
+                if s2d:
+                    # out is full-res, the carry packed: feed back a
+                    # CONTIGUOUS corner slice (same grid as the carry).
+                    # A ::f strided gather here measured 133 vs 150 fps
+                    # while the model itself is faster packed (fnbisect
+                    # 6.71 vs 7.03 ms/frame, docs/PERF.md round-5) — the
+                    # feedback must not cost what the packing saves.
+                    out = out[:, :img.shape[1], :img.shape[2], :]
                 img = img + out.astype(img.dtype) * 1e-12
                 return img, ()
 
@@ -178,15 +186,23 @@ def bench_ours(batch_candidates=(32, 16, 8, 4, 2, 1), dtype='bfloat16',
         try:
             image, depth, response = _inputs(batch, rng)
             if s2d:
-                from rcfd_tpu.ops.s2d_stem import pack2x2_np
-                image, depth, response = (pack2x2_np(image),
-                                          pack2x2_np(depth),
-                                          pack2x2_np(response))
+                from rcfd_tpu.ops.s2d_stem import pack_np
+                image = pack_np(image, s2d_f)
+                # one pre-interleaved uint16 pair stream; the response
+                # slot ships a dummy scalar (decode passes floats through)
+                depth = pack_np(np.concatenate([depth, response], axis=-1),
+                                s2d_f)
+                response = np.zeros((1,), np.float32)
             args = tuple(jax.device_put(a) for a in (image, depth, response))
 
-            # ~64 frames per timing loop bounds both compile size and
-            # wall time across batch candidates
-            n_iters_scan = n_scan or max(2, 64 // batch)
+            # ~128 frames per timing loop: the per-dispatch overhead
+            # through this container's relay is ~25-100 ms and swings
+            # with relay health (126.9 -> 150.0 -> 132.1 fps for the
+            # SAME unpacked graph across sessions) — longer loops
+            # amortize it into an honest device number. Compile size is
+            # bounded by the scan (one body regardless of n); the
+            # compiled graphs are cached in .xla_cache.
+            n_iters_scan = n_scan or max(4, 128 // batch)
 
             if mode == 'scan':
                 loop = make_loop(n_iters_scan)

@@ -37,6 +37,8 @@ TPU-layout half of the design.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -100,22 +102,28 @@ def s4d_stem_weights(w7: jnp.ndarray) -> jnp.ndarray:
     the b=32 scan graph (docs/PERF.md round-5)."""
     k, k2, c, o = w7.shape
     assert k == 7 and k2 == 7, (k, k2)
-    w3 = jnp.zeros((3, 3, 16 * c, 4 * o), w7.dtype)
+    # Single-gather construction (static index maps + a zero sentinel at
+    # padded index 7): a per-element .at[...].set chain compiled to ~200
+    # dynamic-update-slices that XLA did NOT hoist out of the dispatch,
+    # costing ~25 ms/call in the b=32 serving graph (134 -> 156 fps once
+    # amortized, docs/PERF.md round-5).
+    # 1-D factor map: packed tap index (t+1) and input phase alpha for
+    # each (output phase a, kernel tap u); sentinel u=7 reads the zero pad
+    tmap = np.full((3, 4, 2), 7, np.int64)    # [t+1, alpha, a] -> u
     for a in (0, 1):
         for u in range(7):
             e = 2 * a + u - 3
             alpha = e % 4
             t = (e - alpha) // 4
-            for b in (0, 1):
-                for v in range(7):
-                    f = 2 * b + v - 3
-                    beta = f % 4
-                    s = (f - beta) // 4
-                    cin = alpha * 4 + beta
-                    cout = a * 2 + b
-                    w3 = w3.at[t + 1, s + 1, cin * c:(cin + 1) * c,
-                               cout * o:(cout + 1) * o].add(w7[u, v])
-    return w3
+            tmap[t + 1, alpha, a] = u
+    w7p = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero sentinel
+    # U[t, s, alpha, beta, a, b] / V[...]: source taps per destination
+    U = tmap[:, None, :, None, :, None]                  # (3,1,4,1,2,1)
+    V = tmap[None, :, None, :, None, :]                  # (1,3,1,4,1,2)
+    U, V = np.broadcast_arrays(U, V)                     # (3,3,4,4,2,2)
+    g = w7p[U, V]                          # (3,3,4,4,2,2,C,O)
+    g = jnp.transpose(g, (0, 1, 2, 3, 6, 4, 5, 7))  # (3,3,4,4,C,2,2,O)
+    return g.reshape(3, 3, 16 * c, 4 * o)
 
 
 def conv2d_s4d_stem_packed(x_packed4: jnp.ndarray,
@@ -137,11 +145,11 @@ def pack_pointwise_kernel(w1: jnp.ndarray) -> jnp.ndarray:
     over phase-major packed tensors (a 1x1 conv touches one full-res
     position, i.e. one phase — exact)."""
     ci, co = w1.shape[2], w1.shape[3]
-    k = jnp.zeros((1, 1, 4 * ci, 4 * co), w1.dtype)
-    for p in range(4):
-        k = k.at[0, 0, p * ci:(p + 1) * ci, p * co:(p + 1) * co].set(
-            w1[0, 0])
-    return k
+    w1z = jnp.stack([w1[0, 0], jnp.zeros_like(w1[0, 0])])  # (2,Ci,Co)
+    idx = np.where(np.eye(4, dtype=bool), 0, 1)            # (4,4)
+    k = w1z[idx]                                           # (4,4,Ci,Co)
+    k = jnp.transpose(k, (0, 2, 1, 3)).reshape(4 * ci, 4 * co)
+    return k[None, None]
 
 
 def _shift2d_neginf(x, di: int, dj: int):

@@ -64,19 +64,26 @@ def pack_upconv_kernel(w):
 def pack_fullres_kernel(v):
     """(3,3,Ci,Co) kernel of a stride-1 full-res conv3x3 -> packed
     (3,3,4Ci,4Co) kernel over a phase-packed tensor. Channel index
-    (d_y*2+d_x)*C + c on both sides."""
+    (d_y*2+d_x)*C + c on both sides.
+
+    Built as ONE gather with static index maps (zero sentinel at padded
+    index 3): the per-slice .at[].set chain lowered to ~80 sequential
+    dynamic-update-slices that XLA does not hoist out of the dispatch —
+    per-call overhead in every serving graph with the packed tail
+    (docs/PERF.md round-5)."""
     ci, co = v.shape[2], v.shape[3]
-    t = jnp.zeros((3, 3, 2, 2, ci, 2, 2, co), v.dtype)
+    m = np.full((3, 2, 2), 3, np.int64)       # [p+1, dy', dy] -> u
     for dy in (0, 1):
         for u in range(3):
             p, dyp = divmod(dy + u - 1, 2)
-            for dx in (0, 1):
-                for vv in range(3):
-                    q, dxp = divmod(dx + vv - 1, 2)
-                    t = t.at[p + 1, q + 1, dyp, dxp, :, dy, dx, :].set(
-                        v[u, vv])
-    # (p,q, dy',dx',ci, dy,dx,co) -> (3,3, 4Ci, 4Co)
-    return t.reshape(3, 3, 4 * ci, 4 * co)
+            m[p + 1, dyp, dy] = u
+    vp = jnp.pad(v, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero sentinel
+    U = m[:, None, :, None, :, None]          # (3,1,2,1,2,1)
+    V = m[None, :, None, :, None, :]          # (1,3,1,2,1,2)
+    U, V = np.broadcast_arrays(U, V)          # (3,3,2,2,2,2)
+    g = vp[U, V]                              # (p,q,dy',dx',dy,dx,Ci,Co)
+    g = jnp.transpose(g, (0, 1, 2, 3, 6, 4, 5, 7))
+    return g.reshape(3, 3, 4 * ci, 4 * co)
 
 
 def _tile_bias(b):

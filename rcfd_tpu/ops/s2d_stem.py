@@ -75,21 +75,26 @@ def pack2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 def s2d_stem_weights(w7: jnp.ndarray) -> jnp.ndarray:
     """(7, 7, C, O) stride-2 stem weights -> (4, 4, 4C, O) stride-1
-    weights over the packed input. Pure gather; jit-safe (static index
-    arithmetic only)."""
+    weights over the packed input.
+
+    Built as ONE gather with static index maps (zero sentinel at padded
+    index 7): a per-slice .at[].set chain lowers to ~50 sequential
+    dynamic-update-slices that XLA does not hoist out of the dispatch —
+    measurable per-call overhead in the serving graphs (docs/PERF.md
+    round-5)."""
     k, k2, c, o = w7.shape
     assert k == 7 and k2 == 7, (k, k2)
-    w4 = jnp.zeros((4, 4, 4 * c, o), w7.dtype)
+    m = np.full((4, 2), 7, np.int64)          # [q+2, a] -> u+3
     for u in range(-3, 4):
         a = u % 2
         q = (u - a) // 2
-        for v in range(-3, 4):
-            b = v % 2
-            r = (v - b) // 2
-            phase = a * 2 + b
-            w4 = w4.at[q + 2, r + 2, phase * c:(phase + 1) * c, :].set(
-                w7[u + 3, v + 3, :, :])
-    return w4
+        m[q + 2, a] = u + 3
+    w7p = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero sentinel
+    U = m[:, None, :, None]                    # (4,1,2,1)
+    V = m[None, :, None, :]                    # (1,4,1,2)
+    U, V = np.broadcast_arrays(U, V)           # (4,4,2,2)
+    g = w7p[U, V]                              # (4,4,2,2,C,O)
+    return g.reshape(4, 4, 4 * c, o)
 
 
 def conv2d_s2d_stem(x_packed: jnp.ndarray, w7: jnp.ndarray) -> jnp.ndarray:
