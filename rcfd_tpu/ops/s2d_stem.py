@@ -31,8 +31,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ['pack2x2', 'pack2x2_np', 'pack_np', 's2d_stem_weights',
-           'conv2d_s2d_stem']
+__all__ = ['pack2x2', 'pack2x2_np', 'pack_np', 'pack_jnp',
+           's2d_stem_weights', 'conv2d_s2d_stem']
 
 
 def pack_np(x: np.ndarray, factor: int) -> np.ndarray:
@@ -65,12 +65,22 @@ def pack2x2_np(x: np.ndarray) -> np.ndarray:
 def pack2x2(x: jnp.ndarray) -> jnp.ndarray:
     """Device-side pack (for parity tests; prefer the host form in real
     pipelines — see module docstring)."""
+    return pack_jnp(x, 2)
+
+
+def pack_jnp(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Device-side FxF space-to-depth, phase-major (alpha, beta, c)
+    channel order (the jnp twin of pack_np). Prefer host packing for
+    inputs; the in-graph form is for tensors born on device (e.g. the
+    pipeline's scatter maps feeding FusionNet's packed stage 1)."""
     *lead, h, w, c = x.shape
-    if h % 2 or w % 2:
-        raise ValueError(f'pack2x2 needs even H, W; got {(h, w)}')
-    x = x.reshape(*lead, h // 2, 2, w // 2, 2, c)
+    f = factor
+    if h % f or w % f:
+        raise ValueError(f'pack_jnp(factor={f}) needs H, W % {f} == 0; '
+                         f'got {(h, w)}')
+    x = x.reshape(*lead, h // f, f, w // f, f, c)
     x = jnp.moveaxis(x, -4, -3)
-    return x.reshape(*lead, h // 2, w // 2, 4 * c)
+    return x.reshape(*lead, h // f, w // f, f * f * c)
 
 
 def s2d_stem_weights(w7: jnp.ndarray) -> jnp.ndarray:

@@ -71,6 +71,10 @@ class TwoStagePipeline:
         rn_perf = getattr(radarnet, 'perf', None) or PerfConfig.from_env()
         self._use_pallas_scatter = bool(rn_perf.pallas_scatter)
         self._decode_chunks = rn_perf.decode_chunks
+        # host-side space-to-depth packing of the padded camera frame for
+        # the batched serving paths (exact; PerfConfig.s2d_input)
+        self._s2d_pack = (rn_perf.s2d_factor
+                          if rn_perf.s2d_input_enabled() else 0)
         self.radarnet_params, self.radarnet_state = radarnet_variables
         self.fusionnet_params, self.fusionnet_state = fusionnet_variables
         if optimize:
@@ -187,8 +191,18 @@ class TwoStagePipeline:
 
         def forward(rn_params, rn_state, fn_params, fn_state, images, points,
                     valid):
-            # images: (B, H, W, 3), uint8 under integer transport;
-            # points: (B, K, 3); valid: (B, K)
+            # images: (B, H, W, 3) uint8 under integer transport — or the
+            # space-to-depth packed PADDED frame
+            # (B, H/f, (W+2*pad)/f, f*f*3) produced by the host packer
+            # (forward_batched packs when PerfConfig.s2d_input is on):
+            # the edge pad happens on the host BEFORE packing (exact; an
+            # edge pad of the packed layout would replicate 2-4 column
+            # phases instead of the last column), and pad % f == 0 keeps
+            # the unpadded frame a contiguous phase-aligned slice.
+            packed_f = 0
+            for f in (2, 4):
+                if images.shape[-1] == f * f * 3:
+                    packed_f = f
             images = transport.decode(images)
             b, k = points.shape[0], points.shape[1]
             (images_t,) = self.transforms.transform(
@@ -198,8 +212,18 @@ class TwoStagePipeline:
                 # image only — see _build_forward: coordinates stay f32
                 images_t = images_t.astype(compute_dtype)
 
-            images_pad = jnp.pad(
-                images_t, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode='edge')
+            if packed_f:
+                fp = pad // packed_f
+                images_pad = images_t
+                # FusionNet consumes the UNPADDED frame: with pad % f ==
+                # 0 the phase grids align, so the packed unpadded frame
+                # is a plain column slice of the packed padded one
+                images_fn = images_t[:, :, fp:fp + w // packed_f, :]
+            else:
+                images_pad = jnp.pad(
+                    images_t, ((0, 0), (0, 0), (pad, pad), (0, 0)),
+                    mode='edge')
+                images_fn = images_t
             x_shifted = points[..., 0] + pad            # (B, K)
             points_shifted = points.at[..., 0].set(x_shifted)
             x1 = x_shifted - pad                        # (B, K)
@@ -267,6 +291,12 @@ class TwoStagePipeline:
             input_depth = jnp.stack([depth_map, response_in], axis=-1)
             if compute_dtype is not None:
                 input_depth = input_depth.astype(compute_dtype)
+            if packed_f:
+                # scatter maps are born on device at full res; packing
+                # them in-graph engages FusionNet's packed stage 1
+                # (ops/packed_stage1.py) alongside the packed image
+                from .ops.s2d_stem import pack_jnp
+                input_depth = pack_jnp(input_depth, packed_f)
             # let FusionNet's decoder take the fast (split-conv) paths on
             # full-width maps: at serving batches the HBM headroom that
             # motivated the 256 gate exists, and it measured
@@ -275,17 +305,36 @@ class TwoStagePipeline:
             # serving, which OOMs with the gate lifted (self.fusionnet is
             # the re-perfed frame-width copy built in __init__).
             output_depth, _ = self.fusionnet.apply(
-                fn_params, fn_state, images_t, input_depth,
+                fn_params, fn_state, images_fn, input_depth,
                 training=False)
             return (output_depth[..., 0].astype(jnp.float32),
                     depth_map, response_map)
 
         return forward
 
+    def _maybe_pack_images(self, images):
+        """Host-side edge-pad + FxF space-to-depth of a numpy frame batch
+        (PerfConfig.s2d_input). Device arrays and non-dividing dims pass
+        through unpacked — the jitted forward accepts both forms."""
+        import numpy as np
+        f = self._s2d_pack
+        if not f or not isinstance(images, np.ndarray):
+            return images
+        pad = self.radarnet.input_patch_size_image[1] // 2
+        h, w = self.image_height, self.image_width
+        if images.ndim != 4 or images.shape[1:3] != (h, w) or \
+                h % f or w % f or pad % f:
+            return images
+        from .ops.s2d_stem import pack_np
+        images = np.pad(images, ((0, 0), (0, 0), (pad, pad), (0, 0)),
+                        mode='edge')
+        return pack_np(images, f)
+
     def forward_batched(self, images, points, valid):
         """Batched serving path. images (B, H, W, 3) in [0, 255]; points
         (B, K, 3); valid (B, K). Returns (dense (B, H, W), quasi (B, H, W),
         response (B, H, W))."""
+        images = self._maybe_pack_images(images)
         if not hasattr(self, '_forward_b'):
             self._forward_b = jax.jit(self._build_forward_batched())
         return self._forward_b(
@@ -304,6 +353,8 @@ class TwoStagePipeline:
         the mesh size. Per-frame results identical to forward_batched."""
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+
+        images = self._maybe_pack_images(images)
 
         if mesh is None:
             from .parallel.mesh import get_mesh

@@ -176,6 +176,50 @@ def test_forward_batched_matches_per_frame():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('factor', [2, 4])
+def test_forward_batched_packed_images_match(factor):
+    """The space-to-depth packed serving path (host edge-pad + pack,
+    packed RadarNet stem dispatch, packed FusionNet stage 1, in-graph
+    scatter-map pack) must match the unpacked batched path."""
+    from rcfd_tpu.nn.perf import PerfConfig
+    rng = np.random.default_rng(9)
+    radarnet = RadarNetModel(
+        **RN_KWARGS, perf=PerfConfig(s2d_input=True, s2d_factor=factor))
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    rn_vars = radarnet.init(jax.random.PRNGKey(0))
+    fn_vars = fusionnet.init(jax.random.PRNGKey(1))
+    pipe_packed = TwoStagePipeline(radarnet, fusionnet, rn_vars, fn_vars,
+                                   H, W)
+    assert pipe_packed._s2d_pack == factor
+    rn_off = RadarNetModel(**RN_KWARGS, perf=PerfConfig(s2d_input=False))
+    pipe_plain = TwoStagePipeline(rn_off, fusionnet, rn_vars, fn_vars,
+                                  H, W)
+    assert pipe_plain._s2d_pack == 0
+
+    b, k = 2, 5
+    images = (rng.random((b, H, W, 3), dtype=np.float32) * 255)
+    points = np.stack([
+        rng.integers(0, W, (b, k)).astype(np.float32),
+        rng.integers(0, H, (b, k)).astype(np.float32),
+        rng.random((b, k), dtype=np.float32) * 70 + 1], axis=-1)
+    valid = np.ones((b, k), bool)
+    valid[0, 4:] = False
+
+    dense_p, quasi_p, resp_p = pipe_packed.forward_batched(
+        images, points, valid)
+    dense, quasi, resp = pipe_plain.forward_batched(
+        images, points, valid)
+    # the packed stems are exact up to f32 reassociation; the bridge's
+    # floor quantization can turn that into at most ONE codec step at
+    # boundary values (observed: 1 response pixel in 12288 at 2^-14)
+    np.testing.assert_allclose(np.asarray(quasi_p), np.asarray(quasi),
+                               rtol=0, atol=1.0 / 256.0)
+    np.testing.assert_allclose(np.asarray(resp_p), np.asarray(resp),
+                               rtol=0, atol=2.0 ** -14)
+    np.testing.assert_allclose(np.asarray(dense_p), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_apply_chunked_matches_apply():
     """Chunked per-point decode must equal the monolithic forward."""
     import numpy as np
