@@ -181,6 +181,23 @@ def save_depth(z, path: str, multiplier: float = 256.0):
     Image.fromarray(z.astype(np.int32), mode='I').save(path)
 
 
+def save_depth_encoded(z_u16, path: str):
+    """Write a depth map that was already quantized to the codec grid
+    (uint16, floor(z*256) — e.g. on device by make_forward_fn_batched's
+    codec_encode). Byte-identical files to save_depth(z_f32, path);
+    values must fit 16 bits (z < 256 m, true for every rcfd surface)."""
+    z_u16 = np.asarray(z_u16)
+    assert z_u16.dtype == np.uint16, z_u16.dtype
+    Image.fromarray(z_u16.astype(np.int32), mode='I').save(path)
+
+
+def save_response_encoded(response_u16, path: str):
+    """Codec-grid (uint16, floor(r*2^14)) counterpart of save_response."""
+    response_u16 = np.asarray(response_u16)
+    assert response_u16.dtype == np.uint16, response_u16.dtype
+    Image.fromarray(response_u16.astype(np.int32), mode='I').save(path)
+
+
 def load_response(path: str, multiplier: float = 2 ** 14, data_format: str = 'HW'):
     """Load a response (confidence) map (src/data_utils.py:288-318)."""
     from .raw_cache import cache_dir, load_raw

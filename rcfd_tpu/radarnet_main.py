@@ -296,7 +296,8 @@ def make_forward_fn(model: RadarNetModel, transforms: Transforms,
 
 def make_forward_fn_batched(model: RadarNetModel, transforms: Transforms,
                             image_height: int, image_width: int,
-                            threshold: float = 0.5):
+                            threshold: float = 0.5,
+                            codec_encode: bool = False):
     """Frame-batched scatter inference: B frames per dispatch (identical
     per-frame results to make_forward_fn — same kernels, mapped over the
     batch). The bulk-inference surfaces (validate/run/the stage-1.5
@@ -372,6 +373,18 @@ def make_forward_fn_batched(model: RadarNetModel, transforms: Transforms,
 
         depth_map, response_map = jax.lax.map(
             scatter_one, (crops, xs, zs, valid))      # (B, H, W) each
+        if codec_encode:
+            # quantize to the 16-bit PNG codec grid ON DEVICE: floor(x*m)
+            # in f32 exactly matches the host codec (data/io.py
+            # save_depth/save_response — np.uint32(np.asarray(z) * m));
+            # both multipliers are powers of two so the f32 product is
+            # exact. Halves D2H bytes for the bulk bridge surfaces; the
+            # written PNGs are byte-identical (tests/test_batched_
+            # inference.py).
+            depth_map = (depth_map.astype(jnp.float32) *
+                         jnp.float32(256.0)).astype(jnp.uint16)
+            response_map = (response_map.astype(jnp.float32) *
+                            jnp.float32(2 ** 14)).astype(jnp.uint16)
         return depth_map, response_map
 
     return forward

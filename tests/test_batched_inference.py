@@ -63,6 +63,37 @@ def test_batched_forward_matches_per_frame(model_and_fns, rng):
                                    np.asarray(resp_1), rtol=0, atol=1e-6)
 
 
+def test_codec_encode_byte_identical_pngs(model_and_fns, rng, tmp_path):
+    """make_forward_fn_batched(codec_encode=True) emits uint16 codec-grid
+    maps on device; saved through save_*_encoded they must be
+    byte-identical to the float32 path's save_depth/save_response files
+    (the stage-1.5 bridge's halved-D2H production mode)."""
+    from rcfd_tpu.data import io as data_utils
+
+    model, params, state, _, fwdb = model_and_fns
+    fwdc = radarnet_main.make_forward_fn_batched(
+        model, Transforms(normalized_image_range=[0, 1]), H, W,
+        codec_encode=True)
+    images, points, valid = _frames(rng, b=3)
+    args = (jnp.asarray(images), jnp.asarray(points), jnp.asarray(valid))
+
+    depth_f, resp_f = (np.asarray(a) for a in fwdb(params, state, *args))
+    depth_u, resp_u = (np.asarray(a) for a in fwdc(params, state, *args))
+    assert depth_u.dtype == np.uint16 and resp_u.dtype == np.uint16
+
+    for i in range(3):
+        pf = str(tmp_path / f'f{i}.png')
+        pu = str(tmp_path / f'u{i}.png')
+        data_utils.save_depth(depth_f[i], pf)
+        data_utils.save_depth_encoded(depth_u[i], pu)
+        with open(pf, 'rb') as a, open(pu, 'rb') as b:
+            assert a.read() == b.read()
+        data_utils.save_response(resp_f[i], pf)
+        data_utils.save_response_encoded(resp_u[i], pu)
+        with open(pf, 'rb') as a, open(pu, 'rb') as b:
+            assert a.read() == b.read()
+
+
 def test_iter_scatter_outputs_tail_padding(model_and_fns, rng, tmp_path):
     """5 frames at eval_batch_size=2: the padded tail batch must yield
     exactly 5 outputs, each equal to the batch-1 result."""

@@ -113,3 +113,66 @@ def test_bridge_script_end_to_end(tmp_path):
     assert os.path.exists(manifest)
     assert len(data_utils.read_paths(manifest)) == 2
     assert os.path.exists(manifest.replace('.txt', '-subset.txt'))
+
+
+def test_bridge_script_codec_d2h_identical_artifacts(tmp_path):
+    """Production passes (no --run_evaluation) take the codec-grid D2H
+    path (uint16 on device, setup_dataset_nuscenes_radarnet.py); their
+    PNG artifacts must be byte-identical to the eval pass's float32
+    path."""
+    import hashlib
+
+    img_m, radar_m, radar_paths, gt_m = _make_fixture(str(tmp_path / 'data'))
+
+    model = RadarNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=(64, 32),
+        encoder_type='radarnetv1_batch_norm',
+        n_filters_encoder_image=[8, 12, 16, 16, 16],
+        n_neurons_encoder_depth=[8, 12, 16, 16, 16],
+        decoder_type='multiscale_batch_norm',
+        n_filters_decoder=[16, 12, 8, 8, 8])
+    params, state = model.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / 'model-1.npz')
+    model.save_checkpoint(ckpt, params, state, step=1)
+
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    base_cmd = [
+        sys.executable,
+        os.path.join(REPO, 'setup', 'setup_dataset_nuscenes_radarnet.py'),
+        '--restore_path', ckpt,
+        '--val_image_path', img_m,
+        '--val_radar_path', radar_m,
+        '--patch_size', '64', '32',
+        '--encoder_type', 'radarnetv1', 'batch_norm',
+        '--n_filters_encoder_image', '8', '12', '16', '16', '16',
+        '--n_neurons_encoder_depth', '8', '12', '16', '16', '16',
+        '--decoder_type', 'multiscale', 'batch_norm',
+        '--n_filters_decoder', '16', '12', '8', '8', '8',
+        '--max_points_inference', '8',
+    ]
+
+    def run_and_hash(out_dir, extra):
+        result = subprocess.run(
+            base_cmd + ['--output_dirpath', out_dir] + extra,
+            env=env, capture_output=True, text=True, timeout=500)
+        assert result.returncode == 0, result.stderr[-3000:]
+        hashes = {}
+        for p in radar_paths:
+            for stream in ('depth_predicted', 'response_predicted'):
+                png = p.replace('radar_points', stream)\
+                    .replace('.npy', '.png')
+                with open(png, 'rb') as f:
+                    hashes[(stream, os.path.basename(png))] = \
+                        hashlib.sha1(f.read()).hexdigest()
+        return hashes
+
+    # production pass first (codec D2H), then the f32 eval pass
+    # overwrites the same artifact paths — hash between runs
+    h_codec = run_and_hash(str(tmp_path / 'out1'), [])
+    h_f32 = run_and_hash(
+        str(tmp_path / 'out2'),
+        ['--val_ground_truth_path', gt_m, '--run_evaluation'])
+    assert h_codec == h_f32

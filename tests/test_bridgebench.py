@@ -26,7 +26,9 @@ def test_bridgebench_check_only_smoke():
     assert result.returncode == 0, result.stderr[-3000:]
     row = json.loads(result.stdout.strip().splitlines()[-1])
     assert row['harness'] == 'bridgebench' and row['check_only']
-    for mode in ('prefetch', 'sync'):
+    # check_only also runs the codec mode (uint16 device-quantized D2H)
+    # and asserts its PNG files are byte-identical inside the harness
+    for mode in ('prefetch', 'sync', 'codec'):
         assert row['results'][mode]['frames_per_s'] > 0
 
 

@@ -50,14 +50,21 @@ def run_bridge(mode, forward_fn_b, params, state, dataset, out_dir,
     os.makedirs(out_dir, exist_ok=True)
     depth_paths = []
     t0 = time.perf_counter()
-    if mode == 'prefetch':
+    if mode in ('prefetch', 'codec'):
+        # 'codec' = prefetch loop but forward_fn_b emits uint16 codec-grid
+        # outputs (half the D2H bytes); files are byte-identical
         it = radarnet_main.iter_scatter_outputs(
             forward_fn_b, params, state, dataset, eval_batch_size)
         for idx, _data, output_depth, response_np in it:
             dp = os.path.join(out_dir, f'depth_{idx:05d}.png')
-            data_utils.save_depth(output_depth, dp)
-            data_utils.save_response(
-                response_np, os.path.join(out_dir, f'resp_{idx:05d}.png'))
+            if mode == 'codec':
+                data_utils.save_depth_encoded(output_depth, dp)
+                data_utils.save_response_encoded(
+                    response_np, os.path.join(out_dir, f'resp_{idx:05d}.png'))
+            else:
+                data_utils.save_depth(output_depth, dp)
+                data_utils.save_response(
+                    response_np, os.path.join(out_dir, f'resp_{idx:05d}.png'))
             depth_paths.append(dp)
     else:  # sync: the pre-r5 loop shape — serialized fetch/H2D/compute/IO
         n_sample = len(dataset)
@@ -95,7 +102,8 @@ def main():
     parser.add_argument('--eval_batch_size', type=int, default=8)
     parser.add_argument('--dtype', default='bfloat16',
                         choices=['bfloat16', 'float32'])
-    parser.add_argument('--mode', choices=['prefetch', 'sync', 'both'],
+    parser.add_argument('--mode',
+                        choices=['prefetch', 'sync', 'codec', 'both', 'all'],
                         default='both')
     parser.add_argument('--check_only', action='store_true',
                         help='tiny shapes, assert prefetch==sync outputs '
@@ -144,10 +152,18 @@ def main():
         forward_fn_b = radarnet_main.make_forward_fn_batched(
             model, Transforms(normalized_image_range=[0, 1]),
             args.height, args.width)
+        forward_fn_codec = radarnet_main.make_forward_fn_batched(
+            model, Transforms(normalized_image_range=[0, 1]),
+            args.height, args.width, codec_encode=True)
 
-        modes = ['prefetch', 'sync'] if args.mode == 'both' else [args.mode]
-        if args.check_only:
+        if args.mode == 'both':
             modes = ['prefetch', 'sync']
+        elif args.mode == 'all':
+            modes = ['prefetch', 'sync', 'codec']
+        else:
+            modes = [args.mode]
+        if args.check_only:
+            modes = ['prefetch', 'sync', 'codec']
 
         # warm: compile the batched forward once outside the timed passes
         s0 = dataset.get(0)
@@ -156,12 +172,15 @@ def main():
                                            args.n_frames)))
             for f in s0[:3])
         np.asarray(forward_fn_b(params, state, *warm)[0])
+        if 'codec' in modes or args.check_only:
+            np.asarray(forward_fn_codec(params, state, *warm)[0])
 
         results = {}
         outs = {}
         for mode in modes:
             out_dir = os.path.join(root, f'out_{mode}')
-            dt, n, paths = run_bridge(mode, forward_fn_b, params, state,
+            fwd = forward_fn_codec if mode == 'codec' else forward_fn_b
+            dt, n, paths = run_bridge(mode, fwd, params, state,
                                       dataset, out_dir, args.eval_batch_size)
             results[mode] = dict(seconds=round(dt, 3),
                                  frames_per_s=round(n / dt, 3))
@@ -175,6 +194,17 @@ def main():
             b = [data_utils.load_depth(p) for p in outs['sync']]
             assert all(np.array_equal(x, y) for x, y in zip(a, b)), \
                 'prefetch and sync bridge outputs differ'
+            # codec (uint16 device-quantized D2H) must write byte-identical
+            # PNG files to the float32 path
+            for pa, pc in zip(outs['prefetch'], outs['codec']):
+                with open(pa, 'rb') as fa, open(pc, 'rb') as fc:
+                    assert fa.read() == fc.read(), \
+                        f'codec-encoded bridge PNG differs: {pc}'
+                ra = pa.replace('depth_', 'resp_')
+                rc = pc.replace('depth_', 'resp_')
+                with open(ra, 'rb') as fa, open(rc, 'rb') as fc:
+                    assert fa.read() == fc.read(), \
+                        f'codec-encoded response PNG differs: {rc}'
 
         print(json.dumps({
             'harness': 'bridgebench', 'n_frames': args.n_frames,
