@@ -72,7 +72,8 @@ class FusionNetModel:
                 weight_initializer=weight_initializer,
                 activation_func=activation_func,
                 use_batch_norm='batch_norm' in encoder_type,
-                fusion_type=fusion_type)
+                fusion_type=fusion_type,
+                perf=self.perf)
             self.image_only = False
         else:
             self.encoder = ResNetEncoder(

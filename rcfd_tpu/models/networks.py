@@ -123,7 +123,10 @@ class FusionNetEncoder(Module):
                  weight_initializer: str = 'kaiming_uniform',
                  activation_func: str = 'leaky_relu',
                  use_batch_norm: bool = False,
-                 fusion_type: str = 'add'):
+                 fusion_type: str = 'add',
+                 perf=None):
+        from ..nn.perf import PerfConfig
+        self.perf = perf if perf is not None else PerfConfig.from_env()
         self.fusion_type = fusion_type
         self.input_channels_image = input_channels_image
         self.input_channels_depth = input_channels_depth
@@ -231,9 +234,19 @@ class FusionNetEncoder(Module):
             from ..ops.packed_tail import depth_to_space
             fused_p, fi_p, fd_p = packed_fusion_stage1(
                 self, params, state, image, depth)
-            # skip handover: the decoder consumes the unpacked skip (its
-            # value is bit-identical to the unpacked encoder's)
-            layers.append(depth_to_space(fused_p, fused_p.shape[-1] // 4))
+            if self.perf.packed_skip:
+                # hand the stage-1 skip to the decoder still packed
+                # (PerfConfig.packed_skip): deconv1 consumes it with
+                # trimmed per-phase kernels and the lane-padded full-res
+                # skip buffer is never written (ops/packed_tail.
+                # packed_decoder_block_skippacked)
+                from ..ops.packed_tail import PackedSkip
+                layers.append(PackedSkip(fused_p))
+            else:
+                # skip handover: the decoder consumes the unpacked skip
+                # (its value is bit-identical to the unpacked encoder's)
+                layers.append(
+                    depth_to_space(fused_p, fused_p.shape[-1] // 4))
             fi = max_pool2d_packed(fi_p, fi_p.shape[-1] // 4)
             fd = max_pool2d_packed(fd_p, fd_p.shape[-1] // 4)
         else:
@@ -625,16 +638,34 @@ class MultiScaleDecoder(Module):
                 outputs[-1], (2 * h, 2 * w))
 
         n -= 1
-        skip = (_concat_skip(skips[n], upsample_output2)
-                if self.n_resolution > 2 else skips[n])
-        if self._packed_deconv1_ok(layers[-1], skip, training):
-            from ..ops.packed_tail import packed_decoder_block
-            layers.append(packed_decoder_block(
-                layers[-1], skip, self.children['deconv1'],
-                params['deconv1'], state['deconv1']))
-            new_state['deconv1'] = state['deconv1']
-        else:
-            layers.append(run('deconv1', layers[-1], skip=skip))
+        skip = skips[n]
+        from ..ops.packed_tail import PackedSkip
+        if isinstance(skip, PackedSkip):
+            # stage-1 skip delivered packed (PerfConfig.packed_skip):
+            # consume it without ever writing the lane-padded full-res
+            # buffer when the block qualifies; otherwise unpack and fall
+            # through to the standard paths
+            if self._packed_skip_ok(layers[-1], skip, training):
+                from ..ops.packed_tail import packed_decoder_block_skippacked
+                layers.append(packed_decoder_block_skippacked(
+                    layers[-1], skip.packed, self.children['deconv1'],
+                    params['deconv1'], state['deconv1']))
+                new_state['deconv1'] = state['deconv1']
+                skip = None
+            else:
+                from ..ops.packed_tail import depth_to_space
+                skip = depth_to_space(skip.packed, skip.packed.shape[-1] // 4)
+        if skip is not None:
+            skip = (_concat_skip(skip, upsample_output2)
+                    if self.n_resolution > 2 else skip)
+            if self._packed_deconv1_ok(layers[-1], skip, training):
+                from ..ops.packed_tail import packed_decoder_block
+                layers.append(packed_decoder_block(
+                    layers[-1], skip, self.children['deconv1'],
+                    params['deconv1'], state['deconv1']))
+                new_state['deconv1'] = state['deconv1']
+            else:
+                layers.append(run('deconv1', layers[-1], skip=skip))
 
         if self.n_resolution > 1:
             outputs.append(run_conv('output1', layers[-1]))
@@ -683,6 +714,16 @@ class MultiScaleDecoder(Module):
 
         outputs.append(output0)
         return outputs, new_state
+
+    def _packed_skip_ok(self, x, skip, training) -> bool:
+        """packed_decoder_block_skippacked applies when deconv1
+        nearest-upsamples exactly x2 onto the packed skip's (full-res)
+        grid — i.e. the packed spatial dims equal x's — at inference
+        with 'up' deconv and no side-output concat into this skip
+        (n_resolution <= 2; side outputs land on full-res grids)."""
+        if training or self.deconv_type != 'up' or self.n_resolution > 2:
+            return False
+        return tuple(skip.packed.shape[1:3]) == tuple(x.shape[1:3])
 
     def _packed_deconv1_ok(self, x, skip, training) -> bool:
         """The phase-packed deconv1 (ops/packed_tail.packed_decoder_block)

@@ -88,6 +88,15 @@ class PerfConfig:
     # measured default) or 2.
     s2d_input: Optional[bool] = None
     s2d_factor: int = 4
+    # Keep the packed stage-1 skip packed into the decoder's deconv1
+    # (ops/packed_tail.PackedSkip + packed_decoder_block_skippacked,
+    # trimmed per-phase kernels at 1.78x FLOPs): skips the lane-padded
+    # full-res skip write of the depth_to_space handover. Only active on
+    # inference paths that already run the packed stage-1 region.
+    # MEASURED SLOWER in the full serving graph (+6.2%, docs/PERF.md
+    # round-5 §G: the four per-phase convs re-read the concat tensor) —
+    # tested opt-in, like packed_deconv1.
+    packed_skip: bool = False
 
     def __post_init__(self):
         for name in ('pool_window_gather', 'fused_pool2_gather'):
@@ -169,6 +178,7 @@ class PerfConfig:
             s2d_input=flag('RCFD_S2D_INPUT'),
             s2d_factor=(int(os.environ['RCFD_S2D_FACTOR'])
                         if os.environ.get('RCFD_S2D_FACTOR') else 4),
+            packed_skip=flag('RCFD_PACKED_SKIP') or False,
         )
         env.update(overrides)
         return cls(**env)

@@ -33,11 +33,25 @@ zero-padding onto half-res zero-padding exactly when dims are even).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..nn import functional as F
+
+
+class PackedSkip(NamedTuple):
+    """A skip tensor kept in 2x2 phase-packed layout: `packed` has shape
+    (N, I, J, 4C) and represents an (N, 2I, 2J, C) tensor with channel
+    order (dy*2+dx)*C + c (space_to_depth below). The encoder hands the
+    stage-1 skip to the decoder in this form under
+    PerfConfig.packed_skip so the lane-padded full-res skip buffer is
+    never materialized (docs/PERF.md round-5 §D: the depth_to_space
+    handover write was the entire 22%% packed-region win)."""
+    packed: jnp.ndarray
 
 # Row/col aliasing matrices: K^{phase}[p] = sum_u M[phase][p, u] W[u]
 _M = (
@@ -177,6 +191,96 @@ def packed_decoder_block(x, skip, block, params, state):
     z = z + _tile_bias(b_mid).astype(z.dtype)
     if act_mid is not None:
         z = act_mid(z)
+    return depth_to_space(z, w_mid.shape[-1])
+
+
+def _trim_map(d: int) -> np.ndarray:
+    """[a (kernel tap), p (input phase)] -> u (full-res 3x3 tap index),
+    with 3 as the zero sentinel, for output phase component d in {0,1}.
+
+    Full-res tap row r = 2i' + d + u - 1 = 2(i' + p_off) + p with
+    p_off in {d-1, d} — two consecutive packed offsets, so output phase
+    d needs only a 2-tap packed kernel (a indexes the offset window,
+    aligned by padding (1-d, d))."""
+    m = np.full((2, 2), 3, np.int64)
+    for a in (0, 1):
+        for p in (0, 1):
+            u = 2 * a + p + d - 1
+            if 0 <= u <= 2:
+                m[a, p] = u
+    return m
+
+
+def trimmed_phase_kernel(w, dy: int, dx: int):
+    """(3,3,Ci,Co) full-res stride-1 conv kernel -> the (2,2,4Ci,Co)
+    kernel producing output phase (dy,dx) directly from a phase-packed
+    (N,I,J,4Ci) input (channel order (py*2+px)*Ci + c). Pair with
+    padding ((1-dy, dy), (1-dx, dx))."""
+    ci, co = w.shape[2], w.shape[3]
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero sentinel row/col
+    mr, mc = _trim_map(dy), _trim_map(dx)
+    U = mr[:, None, :, None]                  # (a, 1, py, 1)
+    V = mc[None, :, None, :]                  # (1, b, 1, px)
+    U, V = np.broadcast_arrays(U, V)          # (a, b, py, px)
+    g = wp[U, V]                              # (a, b, py, px, Ci, Co)
+    return g.reshape(2, 2, 4 * ci, co)
+
+
+def trimmed_fullres_conv(xp, w):
+    """Stride-1 full-res conv3x3, phase-packed in -> phase-packed out,
+    as FOUR per-phase (2,2,4Ci,Co) convs — 64/36 = 1.78x the unpacked
+    FLOPs instead of pack_fullres_kernel's dense 4x, with every buffer
+    packed (full 128 lanes at C>=32/4)."""
+    outs = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            k = trimmed_phase_kernel(w, dy, dx)
+            outs.append(jax.lax.conv_general_dilated(
+                xp, k.astype(xp.dtype), window_strides=(1, 1),
+                padding=((1 - dy, dy), (1 - dx, dx)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC')))
+    return jnp.concatenate(outs, axis=-1)     # phase-major (dy*2+dx)*Co
+
+
+def packed_decoder_block_skippacked(x, skip_packed, block, params, state):
+    """packed_decoder_block with the skip ALREADY phase-packed
+    (N,I,J,4Cs): the skip's depth_to_space handover — a lane-padded
+    full-res write that costs ~11 ms (= the whole 22% packed-stage-1
+    region win) at the FusionNet serving config — never happens, and the
+    post-concat conv runs in the trimmed per-phase form (1.78x FLOPs vs
+    the dense 4x packed-packed form that made packed_deconv1 a round-4
+    measured negative). Exact up to float reassociation.
+
+    MEASURED SLOWER in the full b=32 serving graph (+6.2%, docs/PERF.md
+    round-5 §G): the four per-phase convs each re-read the whole concat
+    tensor and XLA does not fuse them — the extra reads outweigh the
+    saved skip write. Tested opt-in via PerfConfig.packed_skip.
+
+    Requires the packed_decoder_block conditions: 'up' deconv, 3x3
+    stride-1 convs, eval mode, skip grid == 2x x's grid (encoded by the
+    shapes: skip_packed spatial dims == x spatial dims)."""
+    up_conv = block.deconv.conv
+    w_up, b_up = effective_conv(up_conv, params['deconv']['conv'],
+                                state['deconv']['conv'])
+    w_mid, b_mid = effective_conv(block.conv, params['conv'], state['conv'])
+    co_up = w_up.shape[-1]
+    cs = skip_packed.shape[-1] // 4
+
+    y = F.conv2d(x, pack_upconv_kernel(w_up), stride=1)
+    y = y + _tile_bias(b_up).astype(y.dtype)
+    if up_conv.activation is not None:
+        y = up_conv.activation(y)
+
+    n, i, j = y.shape[:3]
+    cat = jnp.concatenate([
+        y.reshape(n, i, j, 4, co_up),
+        skip_packed.reshape(n, i, j, 4, cs)], axis=-1).reshape(
+            n, i, j, 4 * (co_up + cs))
+
+    z = trimmed_fullres_conv(cat, w_mid)
+    z = z + _tile_bias(b_mid).astype(z.dtype)
+    if block.conv.activation is not None:
+        z = block.conv.activation(z)
     return depth_to_space(z, w_mid.shape[-1])
 
 

@@ -212,3 +212,86 @@ def test_depth_to_space_roundtrip():
     x = rng.random((1, 8, 12, 6), np.float32)
     np.testing.assert_array_equal(
         np.asarray(depth_to_space(jnp.asarray(pack2x2_np(x)), 6)), x)
+
+
+def test_trimmed_fullres_conv_exact():
+    """ops/packed_tail.trimmed_fullres_conv: the four per-phase 2x2
+    kernels (1.78x FLOPs) must reproduce the stride-1 full-res conv3x3
+    on a phase-packed tensor."""
+    from rcfd_tpu.ops.packed_tail import trimmed_fullres_conv
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 5)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))
+    want = F.conv2d(x, w, stride=1)
+    got = depth_to_space(
+        jax.jit(trimmed_fullres_conv)(space_to_depth(x), w), 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_decoder_block_skippacked_exact():
+    """The packed-skip DecoderBlock must match the plain block (and the
+    dense packed_decoder_block) on a packed skip."""
+    from rcfd_tpu.nn.layers import DecoderBlock
+    from rcfd_tpu.ops.packed_tail import (packed_decoder_block,
+                                          packed_decoder_block_skippacked)
+    blk = DecoderBlock(6, 4, 8, use_batch_norm=True)
+    params, state = blk.init(jax.random.PRNGKey(0))
+    state = jax.tree_util.tree_map(
+        lambda s: s + 0.3 if s.dtype == jnp.float32 and s.ndim == 1 else s,
+        state)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 6)).astype(np.float32))
+    skip = jnp.asarray(rng.standard_normal((2, 24, 32, 4)).astype(np.float32))
+    want, _ = blk(params, state, x, skip=skip, training=False)
+    dense = packed_decoder_block(x, skip, blk, params, state)
+    got = jax.jit(
+        lambda x, sp: packed_decoder_block_skippacked(
+            x, sp, blk, params, state))(x, space_to_depth(skip))
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('fusion_type', ['add', 'weight_and_project'])
+def test_model_packed_skip_parity(fusion_type):
+    """FusionNetModel end to end: PerfConfig(packed_skip=True) on packed
+    inputs must equal the default packed path (which equals unpacked —
+    covered above). The stage-1 skip rides to deconv1 as a PackedSkip."""
+    from rcfd_tpu.models import FusionNetModel
+    from rcfd_tpu.nn.perf import PerfConfig
+    from rcfd_tpu.ops.s2d_stem import pack_np
+
+    kwargs = dict(
+        input_channels_image=3, input_channels_depth=2,
+        encoder_type='fusionnet18_batch_norm',
+        fusion_type=fusion_type,
+        decoder_type='multiscale_batch_norm',
+        n_resolution_decoder=1,
+        n_filters_encoder_image=[8, 12, 16, 16, 16],
+        n_filters_encoder_depth=([8, 12, 16, 16, 16]
+                                 if fusion_type == 'weight'
+                                 else [4, 6, 8, 8, 8]),
+        n_filters_decoder=[16, 12, 8, 8, 8],
+        min_predict_depth=1.0, max_predict_depth=100.0)
+    base = FusionNetModel(**kwargs)
+    packed = FusionNetModel(**kwargs, perf=PerfConfig(packed_skip=True))
+    params, state = jax.jit(base.init)(jax.random.PRNGKey(0))
+    state = jax.tree_util.tree_map(
+        lambda s: s + 0.3 if s.dtype == jnp.float32 and s.ndim == 1 else s,
+        state)
+
+    rng = np.random.default_rng(13)
+    image = rng.random((2, 64, 96, 3), np.float32)
+    depth = rng.random((2, 64, 96, 2), np.float32)
+    ip, dp = pack_np(image, 2), pack_np(depth, 2)
+
+    want, _ = jax.jit(lambda p, s, i, d: base.apply(p, s, i, d,
+                                                    training=False))(
+        params, state, ip, dp)
+    got, _ = jax.jit(lambda p, s, i, d: packed.apply(p, s, i, d,
+                                                     training=False))(
+        params, state, ip, dp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)

@@ -70,7 +70,19 @@ def main():
                              dep.astype(cdtype), training=False)
         return jnp.sum(out.astype(jnp.float32))
 
-    cuts = {'enc': cut_enc, 'full': cut_full}
+    # 'fullps': same graph with PerfConfig.packed_skip — the stage-1 skip
+    # rides packed into deconv1 (trimmed per-phase kernels); meaningful
+    # only with --s2d 2/4 (needs the packed stage-1 region)
+    from rcfd_tpu.nn.perf import PerfConfig
+    model_ps = FusionNetModel(**bench.CONFIG,
+                              perf=PerfConfig.from_env(packed_skip=True))
+
+    def cut_fullps(p, s, img, dep):
+        out, _ = model_ps.apply(p, s, img.astype(cdtype),
+                                dep.astype(cdtype), training=False)
+        return jnp.sum(out.astype(jnp.float32))
+
+    cuts = {'enc': cut_enc, 'full': cut_full, 'fullps': cut_fullps}
     print('backend:', jax.default_backend(), f'batch={b}', flush=True)
     prev = None
     for name in args.cuts:
