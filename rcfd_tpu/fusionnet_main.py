@@ -130,7 +130,8 @@ def _make_train_step(model: FusionNetModel,
     return step
 
 
-def make_forward_fn(model: FusionNetModel, transforms: Transforms):
+def make_forward_fn(model: FusionNetModel, transforms: Transforms,
+                    codec_encode: bool = False):
     """Jitted inference forward over one normalized full-res frame.
 
     Accepts unpacked (B, H, W, C) streams or the loader's 2x2
@@ -138,7 +139,12 @@ def make_forward_fn(model: FusionNetModel, transforms: Transforms):
     channel count; jit keys the graph on the shape. Packed depth and
     response interleave per phase so the concatenation equals
     pack2x2(concat(depth, response)), the channel order the packed stems
-    assume (tests/test_s2d_stem.py pins the interleave)."""
+    assume (tests/test_s2d_stem.py pins the interleave).
+
+    codec_encode: return the depth map quantized to the 16-bit PNG codec
+    grid (uint16, floor(z*256) in f32 — the host codec's exact
+    arithmetic) for production passes that only write PNGs: half the
+    D2H bytes, byte-identical files via save_depth_encoded."""
 
     @jax.jit
     def forward(params, state, image, depth, response):
@@ -157,6 +163,9 @@ def make_forward_fn(model: FusionNetModel, transforms: Transforms):
         output_depth, _ = model.apply(
             params, state, image_t.astype(pdtype), input_depth.astype(pdtype),
             training=False)
+        if codec_encode:
+            return (output_depth.astype(jnp.float32) *
+                    jnp.float32(256.0)).astype(jnp.uint16)
         return output_depth.astype(jnp.float32)
 
     return forward
@@ -710,7 +719,11 @@ def run(restore_path,
     if os.environ.get('RCFD_COMPUTE_DTYPE') == 'bfloat16':
         params = cast_tree(params, jnp.bfloat16)
         state = cast_tree(state, jnp.bfloat16)
-    forward_fn = make_forward_fn(model, transforms)
+    # production passes (PNGs only, no eval) fetch the codec-grid uint16
+    # depth map — half the D2H bytes, byte-identical files; eval passes
+    # keep f32 so metrics run on unquantized maps like the reference's
+    codec_d2h = bool(save_outputs) and not ground_truth_available
+    forward_fn = make_forward_fn(model, transforms, codec_encode=codec_d2h)
 
     log('Evaluation input paths:', log_path)
     for p in [image_path, depth_path, response_path] + \
@@ -753,9 +766,16 @@ def run(restore_path,
             data_utils.save_image(
                 image / 255.0,
                 os.path.join(output_dirs['image'], filename))
-            data_utils.save_depth(
-                output_depth_fusion,
-                os.path.join(output_dirs['output_depth_fusion'], filename))
+            if codec_d2h:
+                data_utils.save_depth_encoded(
+                    output_depth_fusion,
+                    os.path.join(output_dirs['output_depth_fusion'],
+                                 filename))
+            else:
+                data_utils.save_depth(
+                    output_depth_fusion,
+                    os.path.join(output_dirs['output_depth_fusion'],
+                                 filename))
             data_utils.save_depth(
                 depth[..., 0],
                 os.path.join(output_dirs['output_depth_radar'], filename))

@@ -31,6 +31,20 @@ from .ops.scatter import scatter_quasi_dense
 RESPONSE_DECODE_SCALE = float(2 ** 14) / 256.0
 
 
+def _codec_encode_outputs(dense, quasi, response):
+    """Quantize the three serving outputs to the 16-bit PNG codec grid
+    (uint16) on device: floor(x*256) for the depths, floor(x*2^14) for
+    the response — exactly the host codec's f32 arithmetic (data/io.py
+    save_depth/save_response; both multipliers are powers of two so the
+    product is exact). Halves D2H bytes; files via save_*_encoded are
+    byte-identical to the float32 path's."""
+    m = jnp.float32(256.0)
+    r = jnp.float32(2.0 ** 14)
+    return ((dense.astype(jnp.float32) * m).astype(jnp.uint16),
+            (quasi.astype(jnp.float32) * m).astype(jnp.uint16),
+            (response.astype(jnp.float32) * r).astype(jnp.uint16))
+
+
 class TwoStagePipeline:
     """End-to-end camera+radar -> dense depth."""
 
@@ -44,11 +58,17 @@ class TwoStagePipeline:
                  normalized_image_range=(0, 1),
                  quantize_bridge: bool = True,
                  optimize: bool = False,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 codec_encode: bool = False):
         """quantize_bridge: round the quasi-dense maps through the 16-bit
         PNG codec quantization (x256 / x2^14) to bit-match the file-based
         two-stage path. optimize: fold BN into conv weights (inference
-        only). compute_dtype: e.g. jnp.bfloat16 for MXU serving."""
+        only). compute_dtype: e.g. jnp.bfloat16 for MXU serving.
+        codec_encode: return all three output streams quantized to the
+        16-bit PNG codec grid as uint16 ON DEVICE (floor(x*256) for the
+        depths, floor(x*2^14) for the response — the host codec's exact
+        arithmetic) for production passes that only write PNGs: half the
+        D2H bytes, byte-identical files via save_*_encoded."""
         self.radarnet = radarnet
         # Widen FusionNet's fast-decoder width gate to the frame width
         # inside the fused pipeline ONLY (measured 40.9 -> 40.1 ms/frame
@@ -95,6 +115,7 @@ class TwoStagePipeline:
         self.transforms = Transforms(
             normalized_image_range=list(normalized_image_range))
         self.quantize_bridge = quantize_bridge
+        self.codec_encode = codec_encode
         self._forward = jax.jit(self._build_forward())
 
     def _build_forward(self):
@@ -102,6 +123,7 @@ class TwoStagePipeline:
         pad = patch_size[1] // 2
         h, w = self.image_height, self.image_width
         quantize = self.quantize_bridge
+        codec = self.codec_encode
 
         compute_dtype = self.compute_dtype
 
@@ -167,8 +189,9 @@ class TwoStagePipeline:
             output_depth, _ = self.fusionnet.apply(
                 fn_params, fn_state, image_t, input_depth,
                 training=False)
-            return (output_depth[0, :, :, 0].astype(jnp.float32),
+            outs = (output_depth[0, :, :, 0].astype(jnp.float32),
                     depth_map, response_map)
+            return _codec_encode_outputs(*outs) if codec else outs
 
         return forward
 
@@ -187,6 +210,7 @@ class TwoStagePipeline:
         pad = patch_size[1] // 2
         h, w = self.image_height, self.image_width
         quantize = self.quantize_bridge
+        codec = self.codec_encode
         compute_dtype = self.compute_dtype
 
         def forward(rn_params, rn_state, fn_params, fn_state, images, points,
@@ -307,8 +331,9 @@ class TwoStagePipeline:
             output_depth, _ = self.fusionnet.apply(
                 fn_params, fn_state, images_fn, input_depth,
                 training=False)
-            return (output_depth[..., 0].astype(jnp.float32),
+            outs = (output_depth[..., 0].astype(jnp.float32),
                     depth_map, response_map)
+            return _codec_encode_outputs(*outs) if codec else outs
 
         return forward
 

@@ -885,8 +885,14 @@ def run(restore_path,
 
     sample_image = data_utils.load_image(image_paths[0])
     image_height, image_width = sample_image.shape[0], sample_image.shape[1]
+    # production passes (saving PNGs, no eval) fetch codec-grid uint16
+    # outputs — half the D2H bytes, byte-identical files (the bridge's
+    # round-5 mode); eval passes keep f32 so the intersection metrics
+    # run on unquantized maps like the reference's
+    codec_d2h = bool(save_outputs) and not ground_truth_available
     forward_fn_b = make_forward_fn_batched(
-        model, transforms, image_height, image_width, threshold=response_thr)
+        model, transforms, image_height, image_width, threshold=response_thr,
+        codec_encode=codec_d2h)
 
     if save_outputs:
         output_dirs = {
@@ -940,8 +946,13 @@ def run(restore_path,
                 output_dirs['output_depth_radar'], filename)
             response_out_path = os.path.join(
                 output_dirs['output_response_radar'], filename)
-            data_utils.save_depth(output_depth, depth_out_path)
-            data_utils.save_response(output_response, response_out_path)
+            if codec_d2h:
+                data_utils.save_depth_encoded(output_depth, depth_out_path)
+                data_utils.save_response_encoded(output_response,
+                                                 response_out_path)
+            else:
+                data_utils.save_depth(output_depth, depth_out_path)
+                data_utils.save_response(output_response, response_out_path)
             output_depth_paths.append(depth_out_path)
             output_response_paths.append(response_out_path)
             if ground_truth_available:

@@ -101,6 +101,10 @@ def main():
         n_filters_decoder=args.fusionnet_n_filters_decoder,
         min_predict_depth=args.min_predict_depth,
         max_predict_depth=args.max_predict_depth)
+    # production passes (PNGs only, no eval) fetch codec-grid uint16
+    # outputs — half the D2H bytes, byte-identical files; eval passes
+    # keep f32 so metrics run on unquantized maps
+    codec_d2h = bool(args.save_outputs) and not gt_available
     pipeline = TwoStagePipeline.from_checkpoints(
         args.radarnet_restore_path, args.fusionnet_restore_path,
         image_height=sample_image.shape[0], image_width=sample_image.shape[1],
@@ -108,7 +112,8 @@ def main():
         radarnet_kwargs=radarnet_kwargs,
         fusionnet_kwargs=fusionnet_kwargs,
         optimize=True,
-        compute_dtype=jnp.bfloat16 if args.bfloat16 else None)
+        compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
+        codec_encode=codec_d2h)
 
     if args.save_outputs:
         dirs = {name: os.path.join(args.output_dirpath, name)
@@ -172,13 +177,23 @@ def main():
                     os.path.basename(image_paths[idx]))[0] + '.png') \
                     if args.keep_input_filenames \
                     else '{:010d}.png'.format(idx)
-                data_utils.save_depth(dense, os.path.join(
-                    dirs['output_depth_fusion'], filename))
-                data_utils.save_depth(np.asarray(quasi_b[b]), os.path.join(
-                    dirs['output_depth_radar'], filename))
-                data_utils.save_response(
-                    np.asarray(response_b[b]), os.path.join(
-                        dirs['output_response_radar'], filename))
+                if codec_d2h:
+                    data_utils.save_depth_encoded(dense, os.path.join(
+                        dirs['output_depth_fusion'], filename))
+                    data_utils.save_depth_encoded(
+                        np.asarray(quasi_b[b]), os.path.join(
+                            dirs['output_depth_radar'], filename))
+                    data_utils.save_response_encoded(
+                        np.asarray(response_b[b]), os.path.join(
+                            dirs['output_response_radar'], filename))
+                else:
+                    data_utils.save_depth(dense, os.path.join(
+                        dirs['output_depth_fusion'], filename))
+                    data_utils.save_depth(np.asarray(quasi_b[b]), os.path.join(
+                        dirs['output_depth_radar'], filename))
+                    data_utils.save_response(
+                        np.asarray(response_b[b]), os.path.join(
+                            dirs['output_response_radar'], filename))
 
     if gt_available:
         log('Two-stage pipeline evaluation:', log_path)

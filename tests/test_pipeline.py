@@ -522,3 +522,45 @@ def test_two_stage_parity_vs_reference_chain(tmp_path):
     assert np.percentile(dd, 99) < 0.1, \
         f'dense depth p99 |diff| {np.percentile(dd, 99)}'
     assert dd.mean() < 0.02, f'dense depth mean |diff| {dd.mean()}'
+
+
+def test_pipeline_codec_encode_byte_identical_pngs(tmp_path):
+    """TwoStagePipeline(codec_encode=True) returns uint16 codec-grid
+    streams whose save_*_encoded PNGs are byte-identical to the float32
+    pipeline's save_depth/save_response files (the run_pipeline
+    production-pass mode — half the D2H bytes)."""
+    rng = np.random.default_rng(17)
+    radarnet = RadarNetModel(**RN_KWARGS)
+    fusionnet = FusionNetModel(**FN_KWARGS)
+    rn_vars = radarnet.init(jax.random.PRNGKey(0))
+    fn_vars = fusionnet.init(jax.random.PRNGKey(1))
+    pipe_f32 = TwoStagePipeline(radarnet, fusionnet, rn_vars, fn_vars, H, W)
+    pipe_u16 = TwoStagePipeline(radarnet, fusionnet, rn_vars, fn_vars, H, W,
+                                codec_encode=True)
+
+    b, k = 2, 5
+    images = (rng.random((b, H, W, 3), dtype=np.float32) * 255)
+    points = np.stack([
+        rng.integers(0, W, (b, k)).astype(np.float32),
+        rng.integers(0, H, (b, k)).astype(np.float32),
+        rng.random((b, k), dtype=np.float32) * 70 + 1], axis=-1)
+    valid = np.ones((b, k), bool)
+
+    f32 = pipe_f32.forward_batched(jnp.asarray(images), jnp.asarray(points),
+                                   jnp.asarray(valid))
+    u16 = pipe_u16.forward_batched(jnp.asarray(images), jnp.asarray(points),
+                                   jnp.asarray(valid))
+    assert all(np.asarray(s).dtype == np.uint16 for s in u16)
+
+    savers_f32 = (data_utils.save_depth, data_utils.save_depth,
+                  data_utils.save_response)
+    savers_u16 = (data_utils.save_depth_encoded, data_utils.save_depth_encoded,
+                  data_utils.save_response_encoded)
+    for i in range(b):
+        for s, (sf32, su16) in enumerate(zip(savers_f32, savers_u16)):
+            pa = str(tmp_path / f'f{i}_{s}.png')
+            pb = str(tmp_path / f'u{i}_{s}.png')
+            sf32(np.asarray(f32[s][i]), pa)
+            su16(np.asarray(u16[s][i]), pb)
+            with open(pa, 'rb') as a, open(pb, 'rb') as b2:
+                assert a.read() == b2.read(), (i, s)
